@@ -1,0 +1,258 @@
+"""Window seed search by bounded hash probing (host/numpy backend).
+
+Replaces the burst-trie traversal (paralleltraversal.cpp:114-250 +
+traverse_bursttrie.cpp) with an *enumerate-and-probe* scheme over the dense
+index tables: for each 18-char read window w = w1.w2 (9+9 chars), the set
+of reference tails accepted by the d=1 automaton is enumerated in closed
+form (see seed_math.py) and membership-tested against hash tables:
+
+subsearch 1a (exact w1, other half within d<=1; paralleltraversal.cpp:163-185)
+  * zero     : 18-mer (w1.w2) exact                -> 1 probe, F-exact
+  * sub      : 18-mer (w1.V), hamming(V,w2)<=1     -> 37 probes, F-exact
+  * del      : 17-mer (w1.D8), D8 = del1(w2)       -> 9 probes,  F-prefix
+  * ins      : 19-mer (w1.V9.w2[8])                -> 36 probes, 19-mer
+subsearch 1b (exact w2; paralleltraversal.cpp:217-238) -- only when 1a
+found no 0-error match:
+  * zero     : R-group (w1.w2)                     -> 1 probe, R-exact
+               (selects the group's first-inserted representative,
+                traverse_bursttrie.cpp:237-262)
+  * sub/del/ins symmetric via reversed w1 as the pattern.
+
+Per-window semantics reproduced:
+  * 9-mer occurrence gate count > minoccur (paralleltraversal.cpp:161,215)
+  * 0-error short-circuit clears all other hits unless --full_search
+  * per-window id de-duplication (traverse_bursttrie.cpp:264-277)
+
+The same probe-key construction runs on the device (ops/seed_search.py) --
+this module is the reference backend and feeds the engine until the JAX
+path takes over the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..index.builder import IndexPart
+from ..index.hashtab import lookup_u64
+
+MASK16 = (1 << 16) - 1
+MASK18 = (1 << 18) - 1
+
+# precomputed 2-bit reversal for 9-char (18-bit) values, built lazily
+_REV9 = None
+
+
+def _rev9_table() -> np.ndarray:
+    global _REV9
+    if _REV9 is None:
+        v = np.arange(1 << 18, dtype=np.uint32)
+        out = np.zeros_like(v)
+        x = v.copy()
+        for _ in range(9):
+            out = (out << 2) | (x & 3)
+            x >>= 2
+        _REV9 = out.astype(np.int64)
+    return _REV9
+
+
+def rev9(p: np.ndarray) -> np.ndarray:
+    """Reverse the 9 chars of an 18-bit packed value."""
+    return _rev9_table()[p]
+
+
+def rev8(p: np.ndarray) -> np.ndarray:
+    """Reverse the 8 chars of a 16-bit packed value."""
+    out = np.zeros_like(p)
+    x = p.copy()
+    for _ in range(8):
+        out = (out << 2) | (x & 3)
+        x >>= 2
+    return out
+
+
+def sub_variants_vec(p: np.ndarray) -> np.ndarray:
+    """[nw, 37] packed sub-neighborhood (original + 36 single-char swaps)."""
+    nw = p.shape[0]
+    out = np.empty((nw, 37), dtype=np.int64)
+    out[:, 0] = p
+    col = 1
+    for i in range(9):
+        shift = 2 * (8 - i)
+        cleared = p & ~(3 << shift)
+        for c in range(4):
+            out[:, col] = cleared | (c << shift)
+            col += 1
+    return out
+
+
+def del_variants_vec(p: np.ndarray) -> np.ndarray:
+    """[nw, 9] packed 8-char deletions of a 9-char pattern."""
+    nw = p.shape[0]
+    out = np.empty((nw, 9), dtype=np.int64)
+    for k in range(9):
+        hi = p >> (2 * (9 - k))
+        lo = p & ((1 << (2 * (8 - k))) - 1)
+        out[:, k] = (hi << (2 * (8 - k))) | lo
+    return out
+
+
+def ins9_variants_vec(p: np.ndarray) -> np.ndarray:
+    """[nw, 36] first-9-chars of single-insertions of a 9-char pattern."""
+    nw = p.shape[0]
+    out = np.empty((nw, 36), dtype=np.int64)
+    col = 0
+    for k in range(9):
+        hi = p >> (2 * (9 - k))
+        mid = (p >> 2) & ((1 << (2 * (8 - k))) - 1)
+        for c in range(4):
+            out[:, col] = (((hi << 2) | c) << (2 * (8 - k))) | mid
+            col += 1
+    return out
+
+
+class SeedSearcher:
+    """Probes one IndexPart for batches of read windows."""
+
+    def __init__(self, part: IndexPart, minoccur: int = 0,
+                 full_search: bool = False):
+        self.part = part
+        self.minoccur = minoccur
+        self.full_search = full_search
+
+    def search_windows(self, w1: np.ndarray, w2: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Search a batch of windows.
+
+        w1, w2: int64[nw] packed 9-mer halves (MSB-first).
+        Returns (hit_win, hit_id): parallel arrays of per-window unique
+        reference-kmer ids (the id_win pairs of paralleltraversal.cpp:241).
+        """
+        part = self.part
+        nw = w1.shape[0]
+        counts = part.kmer_counts
+
+        gate_f = counts[w1] > self.minoccur
+        gate_r = counts[w2] > self.minoccur
+
+        # ---------- subsearch 1a ----------
+        k18_exact = (w1 << 18) | w2
+        zf, zid = lookup_u64(part.f_exact_keys, part.f_exact_vals,
+                             k18_exact.astype(np.uint64))
+        zero_a = zf & gate_f
+
+        # sub probes (37 per window) -- includes the exact one again;
+        # harmless under set semantics.
+        subs = sub_variants_vec(w2)
+        sub_keys = ((w1[:, None] << 18) | subs).astype(np.uint64)
+        sf, sid = lookup_u64(part.f_exact_keys, part.f_exact_vals,
+                             sub_keys.ravel())
+        sf = sf.reshape(nw, 37) & gate_f[:, None]
+        sid = sid.reshape(nw, 37)
+
+        # del probes (9 per window) -> contiguous id ranges
+        dels = del_variants_vec(w2)
+        del_keys = ((w1[:, None] << 16) | dels).astype(np.uint64)
+        df, dval = lookup_u64(part.f_pref_keys,
+                              np.stack([part.f_pref_start,
+                                        part.f_pref_count], axis=1),
+                              del_keys.ravel())
+        df = df.reshape(nw, 9) & gate_f[:, None]
+        dstart = dval[:, 0].reshape(nw, 9)
+        dcount = np.where(df, dval[:, 1].reshape(nw, 9), 0)
+
+        # ins probes (36 per window) -> single ids via 19-mer table
+        ins9 = ins9_variants_vec(w2)
+        p8 = w2 & 3   # last char of the pattern w2
+        ins_keys = ((w1[:, None].astype(np.uint64) << np.uint64(20))
+                    | (ins9.astype(np.uint64) << np.uint64(2))
+                    | p8[:, None].astype(np.uint64))
+        inf, inid = lookup_u64(part.k19_keys, part.k19_vals, ins_keys.ravel())
+        inf = inf.reshape(nw, 36) & gate_f[:, None]
+        inid = inid.reshape(nw, 36)
+
+        # ---------- subsearch 1b ----------
+        p_r = rev9(w1)
+        rkey_exact = ((w1 << 18) | w2).astype(np.uint64)  # pack(c1..c18)=w1.w2
+        rzf, rzval = lookup_u64(
+            part.r_exact_keys,
+            np.stack([part.r_exact_start, part.r_exact_count,
+                      part.r_exact_zero], axis=1),
+            rkey_exact)
+        zero_b = rzf & gate_r
+
+        rsubs = sub_variants_vec(p_r)
+        rsub_keys = ((rev9(rsubs.reshape(-1)).reshape(nw, 37) << 18)
+                     | w2[:, None]).astype(np.uint64)
+        rsf, rsval = lookup_u64(
+            part.r_exact_keys,
+            np.stack([part.r_exact_start, part.r_exact_count], axis=1),
+            rsub_keys.ravel())
+        rsf = rsf.reshape(nw, 37) & gate_r[:, None]
+        rs_start = rsval[:, 0].reshape(nw, 37)
+        rs_count = np.where(rsf, rsval[:, 1].reshape(nw, 37), 0)
+
+        rdels = del_variants_vec(p_r)
+        rdel_keys = ((rev8(rdels.reshape(-1)).reshape(nw, 9) << 18)
+                     | w2[:, None]).astype(np.uint64)
+        rdf, rdval = lookup_u64(
+            part.r_pref_keys,
+            np.stack([part.r_pref_start, part.r_pref_count], axis=1),
+            rdel_keys.ravel())
+        rdf = rdf.reshape(nw, 9) & gate_r[:, None]
+        rd_start = rdval[:, 0].reshape(nw, 9)
+        rd_count = np.where(rdf, rdval[:, 1].reshape(nw, 9), 0)
+
+        rins9 = ins9_variants_vec(p_r)
+        c0 = w1 >> 16          # P_r[8] == w1[0] == top char of w1
+        rins_keys = ((c0[:, None].astype(np.uint64) << np.uint64(36))
+                     | (rev9(rins9.reshape(-1)).reshape(nw, 36).astype(np.uint64)
+                        << np.uint64(18))
+                     | w2[:, None].astype(np.uint64))
+        rinf, rinid = lookup_u64(part.k19_keys, part.k19_vals,
+                                 rins_keys.ravel())
+        rinf = rinf.reshape(nw, 36) & gate_r[:, None]
+        rinid = rinid.reshape(nw, 36)
+
+        # ---------- combine with 0-error short-circuit semantics ----------
+        full = self.full_search
+        out_win = []
+        out_id = []
+        r_ids = self.part.r_ids
+        for i in range(nw):
+            if not full and zero_a[i]:
+                out_win.append(i)
+                out_id.append(int(zid[i]))
+                continue
+            ids = set()
+            if gate_f[i]:
+                ids.update(sid[i][sf[i]].tolist())
+                for j in range(9):
+                    if dcount[i, j]:
+                        s = int(dstart[i, j])
+                        ids.update(
+                            range(s, s + int(dcount[i, j])))
+                ids.update(inid[i][inf[i]].tolist())
+            if not full and zero_b[i]:
+                out_win.append(i)
+                out_id.append(int(rzval[i, 2]))
+                continue
+            if gate_r[i]:
+                for j in range(37):
+                    if rs_count[i, j]:
+                        s = int(rs_start[i, j])
+                        ids.update(
+                            r_ids[s:s + int(rs_count[i, j])].tolist())
+                for j in range(9):
+                    if rd_count[i, j]:
+                        s = int(rd_start[i, j])
+                        ids.update(
+                            r_ids[s:s + int(rd_count[i, j])].tolist())
+                ids.update(rinid[i][rinf[i]].tolist())
+            for v in sorted(ids):
+                out_win.append(i)
+                out_id.append(int(v))
+
+        return (np.asarray(out_win, dtype=np.int64),
+                np.asarray(out_id, dtype=np.int64))
