@@ -1,0 +1,150 @@
+"""Read model: encodings, strand handling and per-read alignment state.
+
+Mirrors the reference Read class (read.cpp/read.hpp):
+
+* 03 encoding for index search: ambiguous chars -> 0, positions recorded
+  (seqToIntStr, read.cpp:334-347)
+* 04 encoding for Smith-Waterman: ambiguous chars -> 4 (flip34,
+  read.cpp:379-...)
+* reverse complement operates on the 03 sequence with the 0..4 complement
+  table; ambiguous positions are mirrored (revIntStr read.cpp:350-357)
+* read ids are "{readfile_idx}_{read_num}" (read.cpp:616-650)
+* alignment bookkeeping persisted across index parts / task runs
+  (toBinString/load_db, read.cpp:429-539)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..constants import COMPLEMENT4, NT_TABLE
+
+
+@dataclass
+class Alignment:
+    """One accepted alignment (s_align2, ssw.hpp:44-55)."""
+    index_num: int
+    part: int
+    ref_num: int          # ordinal within the part's references buffer
+    read_begin1: int
+    read_end1: int
+    ref_begin1: int
+    ref_end1: int
+    readlen: int
+    score1: int
+    strand: bool          # True: aligned on the forward strand
+    cigar: List[int] = field(default_factory=list)   # packed len<<4|op
+
+
+@dataclass
+class ReadState:
+    """Persistent per-read alignment state (the KVDB blob equivalent,
+    read.cpp:429-462)."""
+    last_index: int = 0
+    last_part: int = 0
+    c_yid_ycov: int = 0
+    n_yid_ncov: int = 0
+    n_nid_ycov: int = 0
+    n_denovo: int = 0
+    is_done: bool = False
+    is_hit: bool = False
+    is_new_hit: bool = False
+    null_align_output: bool = False
+    max_sw_count: int = 0
+    num_alignments: int = 0
+    hit_seeds: int = 0
+    alignments: List[Alignment] = field(default_factory=list)
+    min_index: int = 0
+    max_index: int = 0
+    # volatile (not persisted):
+    best: int = 0
+
+
+class ReadSeq:
+    """Sequence views of one read (no mutation juggling: both strands are
+    precomputed on demand)."""
+
+    __slots__ = ("header", "sequence", "quality", "readfile_idx", "read_num",
+                 "is_fastq", "_f03", "_amb", "_r03", "_f04", "_r04")
+
+    def __init__(self, header: str, sequence: str,
+                 quality: Optional[str], readfile_idx: int, read_num: int):
+        self.header = header
+        self.sequence = sequence
+        self.quality = quality
+        self.readfile_idx = readfile_idx
+        self.read_num = read_num
+        self.is_fastq = quality is not None
+        self._f03 = None
+        self._amb = None
+        self._r03 = None
+        self._f04 = None
+        self._r04 = None
+
+    @property
+    def id(self) -> str:
+        return f"{self.readfile_idx}_{self.read_num}"
+
+    def __len__(self) -> int:
+        return len(self.sequence)
+
+    @property
+    def seq_id(self) -> str:
+        return self.header.split(" ", 1)[0].split("\t", 1)[0]
+
+    def _encode(self):
+        raw = np.frombuffer(self.sequence.encode("ascii"), dtype=np.uint8)
+        enc = NT_TABLE[raw]
+        self._amb = np.flatnonzero(enc == 4)
+        f03 = enc.copy()
+        f03[self._amb] = 0
+        self._f03 = f03
+
+    @property
+    def fwd03(self) -> np.ndarray:
+        if self._f03 is None:
+            self._encode()
+        return self._f03
+
+    @property
+    def ambiguous(self) -> np.ndarray:
+        if self._amb is None:
+            self._encode()
+        return self._amb
+
+    @property
+    def rev03(self) -> np.ndarray:
+        """Reverse complement in 03 encoding (ambiguous chars were 0 and
+        complement to 3, reproducing revIntStr on the 03 string)."""
+        if self._r03 is None:
+            self._r03 = COMPLEMENT4[self.fwd03[::-1]]
+        return self._r03
+
+    @property
+    def fwd04(self) -> np.ndarray:
+        if self._f04 is None:
+            f = self.fwd03.copy()
+            f[self.ambiguous] = 4
+            self._f04 = f
+        return self._f04
+
+    @property
+    def rev04(self) -> np.ndarray:
+        """Reverse strand in 04: revcomp with mirrored ambiguous -> 4
+        (flip34 with reversed=True, read.cpp:384-390)."""
+        if self._r04 is None:
+            r = self.rev03.copy()
+            if self.ambiguous.size:
+                L = len(self.sequence)
+                r[L - 1 - self.ambiguous] = 4
+            self._r04 = r
+        return self._r04
+
+    def strand03(self, forward: bool) -> np.ndarray:
+        return self.fwd03 if forward else self.rev03
+
+    def strand04(self, forward: bool) -> np.ndarray:
+        return self.fwd04 if forward else self.rev04
