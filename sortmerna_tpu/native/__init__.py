@@ -1,0 +1,93 @@
+"""Native (C++) host kernels, built on demand with g++ and bound via ctypes.
+
+Currently:
+* banded_traceback_batch -- CIGAR generation for accepted alignments
+  (traceback.cpp), the host-side partner of the device SW scoring kernel.
+
+The build is cached under <repo>/build/native; if no compiler is available
+the callers fall back to the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_SRC_DIR = pathlib.Path(__file__).resolve().parent
+_BUILD_DIR = _SRC_DIR.parent.parent / "build" / "native"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    so = _BUILD_DIR / "libsmrtpu_native.so"
+    src = _SRC_DIR / "traceback.cpp"
+    if (not so.exists()
+            or so.stat().st_mtime < src.stat().st_mtime):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", str(so), str(src)],
+                check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.banded_traceback_batch.restype = ctypes.c_int
+    lib.banded_traceback_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _build() is not None
+
+
+def traceback_batch(refs: List[np.ndarray], queries: List[np.ndarray],
+                    scores: List[int], bands: List[int],
+                    gap_open: int, gap_ext: int, mat: np.ndarray,
+                    cigar_cap: int = 4096) -> List[List[int]]:
+    """Batched banded traceback; returns a packed CIGAR list per job."""
+    lib = _build()
+    assert lib is not None
+    n = len(refs)
+    ref_off = np.zeros(n + 1, dtype=np.int64)
+    q_off = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        ref_off[i + 1] = ref_off[i] + len(refs[i])
+        q_off[i + 1] = q_off[i] + len(queries[i])
+    ref_data = np.concatenate(
+        [np.asarray(r, dtype=np.uint8) for r in refs]) if n else \
+        np.zeros(0, np.uint8)
+    q_data = np.concatenate(
+        [np.asarray(q, dtype=np.uint8) for q in queries]) if n else \
+        np.zeros(0, np.uint8)
+    sc = np.asarray(scores, dtype=np.int32)
+    bd = np.asarray(bands, dtype=np.int32)
+    mat8 = np.ascontiguousarray(mat, dtype=np.int8)
+    out = np.zeros((n, cigar_cap), dtype=np.uint32)
+    out_len = np.zeros(n, dtype=np.int32)
+    bad = lib.banded_traceback_batch(
+        ref_data.ctypes.data, ref_off.ctypes.data,
+        q_data.ctypes.data, q_off.ctypes.data,
+        sc.ctypes.data, bd.ctypes.data, n, gap_open, gap_ext,
+        mat8.ctypes.data, out.ctypes.data, cigar_cap, out_len.ctypes.data)
+    if bad:
+        raise RuntimeError(f"{bad} tracebacks failed (cigar overflow?)")
+    return [out[i, :out_len[i]].tolist() for i in range(n)]

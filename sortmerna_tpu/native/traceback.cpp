@@ -1,0 +1,150 @@
+// Banded affine-gap DP + traceback producing packed CIGARs.
+//
+// Native host kernel for the post-acceptance CIGAR stage: the device
+// computes scores and begin/end coordinates (ops/sw_jax.py); this kernel
+// reproduces the reference's banded_sw semantics (ssw.c:577-773) --
+// band doubling until the known score is reached, direction preferences
+// (E/F prefer extend on ties, H prefers diagonal, E-vs-F tie goes to F),
+// first read row always emitted as M -- over the clipped alignment window.
+//
+// Batched entry point processes many alignments per call to amortize the
+// FFI overhead (ctypes binding in native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Cell3 { int8_t de, df, dh; };
+
+// returns cigar length (#runs) or -1 if cigar_cap too small
+int traceback_one(const uint8_t* ref, int refLen,
+                  const uint8_t* query, int readLen,
+                  int score, int gap_open, int gap_ext, int band_width,
+                  const int8_t* mat /* 5x5 row-major */,
+                  uint32_t* cigar_out, int cigar_cap) {
+    const int64_t NEG = -(1LL << 40);
+    std::vector<int64_t> h((readLen + 1) * (refLen + 1), 0);
+    std::vector<int64_t> e((readLen + 1) * (refLen + 1), NEG);
+    std::vector<Cell3> dirs((size_t)readLen * refLen);
+    auto H = [&](int i, int j) -> int64_t& { return h[(size_t)i * (refLen + 1) + j]; };
+    auto E = [&](int i, int j) -> int64_t& { return e[(size_t)i * (refLen + 1) + j]; };
+
+    int64_t mx = 0;
+    while (true) {
+        std::fill(h.begin(), h.end(), 0);
+        std::fill(e.begin(), e.end(), NEG);
+        mx = 0;
+        for (int i = 0; i < readLen; ++i) {
+            int beg = i - band_width; if (beg < 0) beg = 0;
+            int end = i + band_width; if (end > refLen - 1) end = refLen - 1;
+            int64_t f = 0;
+            Cell3* drow = &dirs[(size_t)i * refLen];
+            for (int j = beg; j <= end; ++j) {
+                int64_t t1, t2, ecur, fcur, hcur;
+                int8_t de, df, dh;
+                if (i == 0) { t1 = -gap_open; t2 = -gap_ext; }
+                else { t1 = H(i, j + 1) - gap_open; t2 = E(i, j + 1) - gap_ext; }
+                ecur = t1 > t2 ? t1 : t2;
+                de = t1 > t2 ? 3 : 2;
+                t1 = H(i + 1, j) - gap_open;
+                t2 = f - gap_ext;
+                fcur = t1 > t2 ? t1 : t2;
+                df = t1 > t2 ? 5 : 4;
+                f = fcur;
+                int64_t e1 = ecur > 0 ? ecur : 0;
+                int64_t f1 = fcur > 0 ? fcur : 0;
+                t1 = e1 > f1 ? e1 : f1;
+                t2 = H(i, j) + mat[ref[j] * 5 + query[i]];
+                hcur = t1 > t2 ? t1 : t2;
+                if (hcur > mx) mx = hcur;
+                dh = (t1 <= t2) ? 1 : (e1 > f1 ? de : df);
+                H(i + 1, j + 1) = hcur;
+                E(i + 1, j + 1) = ecur;
+                drow[j].de = de; drow[j].df = df; drow[j].dh = dh;
+            }
+            // band edge reset (ssw.c:635)
+            int edge = end + 1;
+            if (edge <= refLen) { H(i + 1, edge) = 0; E(i + 1, edge) = NEG; }
+        }
+        if (mx >= score) break;
+        band_width *= 2;
+        if (band_width > refLen + readLen) {
+            band_width = refLen + readLen;  // give up on next pass
+            if (mx >= score) break;
+        }
+        if (band_width >= refLen + readLen && mx < score) {
+            // full band already evaluated and still below: cannot reproduce
+            // score -- emit with whatever band (matches ssw abort path)
+            break;
+        }
+    }
+
+    // traceback (ssw.c:673-747)
+    int i = readLen - 1, j = refLen - 1;
+    int table = 2;   // 0=e 1=f 2=h
+    int cur_op = 0, cur_n = 0;
+    // build runs end->begin
+    std::vector<uint32_t> rev;
+    rev.reserve(64);
+    while (i > 0) {
+        const Cell3& c = dirs[(size_t)i * refLen + j];
+        int d = (table == 0) ? c.de : (table == 1) ? c.df : c.dh;
+        int f_op;
+        switch (d) {
+        case 1: --i; --j; table = 2; f_op = 0; break;
+        case 2: --i; table = 0; f_op = 1; break;
+        case 3: --i; table = 2; f_op = 1; break;
+        case 4: --j; table = 1; f_op = 2; break;
+        case 5: --j; table = 2; f_op = 2; break;
+        default: return -2;   // traceback error
+        }
+        if (f_op == cur_op) ++cur_n;
+        else {
+            if (cur_n > 0) rev.push_back(((uint32_t)cur_n << 4) | cur_op);
+            cur_op = f_op;
+            cur_n = 1;
+        }
+    }
+    if (cur_op == 0) {
+        rev.push_back(((uint32_t)(cur_n + 1) << 4) | 0u);
+    } else {
+        if (cur_n > 0) rev.push_back(((uint32_t)cur_n << 4) | cur_op);
+        rev.push_back(1u << 4);
+    }
+    int L = (int)rev.size();
+    if (L > cigar_cap) return -1;
+    for (int k = 0; k < L; ++k) cigar_out[k] = rev[L - 1 - k];
+    return L;
+}
+
+} // namespace
+
+extern "C" {
+
+// Batched: sequences packed back-to-back.
+// ref_data/query_data: concatenated windows; offsets via ref_off/query_off
+// (n+1 entries).  scores/bands per job.  cigars written into cigar_out
+// (cap per job = cigar_cap), lengths into cigar_len.
+int banded_traceback_batch(
+    const uint8_t* ref_data, const int64_t* ref_off,
+    const uint8_t* query_data, const int64_t* query_off,
+    const int32_t* scores, const int32_t* bands,
+    int n, int gap_open, int gap_ext, const int8_t* mat,
+    uint32_t* cigar_out, int cigar_cap, int32_t* cigar_len) {
+    int bad = 0;
+    for (int k = 0; k < n; ++k) {
+        int refLen = (int)(ref_off[k + 1] - ref_off[k]);
+        int readLen = (int)(query_off[k + 1] - query_off[k]);
+        int r = traceback_one(ref_data + ref_off[k], refLen,
+                              query_data + query_off[k], readLen,
+                              scores[k], gap_open, gap_ext, bands[k], mat,
+                              cigar_out + (size_t)k * cigar_cap, cigar_cap);
+        cigar_len[k] = r;
+        if (r < 0) ++bad;
+    }
+    return bad;
+}
+
+} // extern "C"

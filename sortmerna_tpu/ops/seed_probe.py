@@ -216,43 +216,61 @@ class SeedSearcher:
         rinid = rinid.reshape(nw, 36)
 
         # ---------- combine with 0-error short-circuit semantics ----------
+        # fully vectorized; three window modes (paralleltraversal semantics):
+        #   A: 1a 0-error -> {exact id}, skip everything else
+        #   B: 1b 0-error (no 1a zero) -> {group representative}, discarding
+        #      1a's 1-error hits (id_hits.clear, traverse_bursttrie:256-262)
+        #   C: union of all 1-error hits from both subsearches
         full = self.full_search
-        out_win = []
-        out_id = []
-        r_ids = self.part.r_ids
-        for i in range(nw):
-            if not full and zero_a[i]:
-                out_win.append(i)
-                out_id.append(int(zid[i]))
-                continue
-            ids = set()
-            if gate_f[i]:
-                ids.update(sid[i][sf[i]].tolist())
-                for j in range(9):
-                    if dcount[i, j]:
-                        s = int(dstart[i, j])
-                        ids.update(
-                            range(s, s + int(dcount[i, j])))
-                ids.update(inid[i][inf[i]].tolist())
-            if not full and zero_b[i]:
-                out_win.append(i)
-                out_id.append(int(rzval[i, 2]))
-                continue
-            if gate_r[i]:
-                for j in range(37):
-                    if rs_count[i, j]:
-                        s = int(rs_start[i, j])
-                        ids.update(
-                            r_ids[s:s + int(rs_count[i, j])].tolist())
-                for j in range(9):
-                    if rd_count[i, j]:
-                        s = int(rd_start[i, j])
-                        ids.update(
-                            r_ids[s:s + int(rd_count[i, j])].tolist())
-                ids.update(rinid[i][rinf[i]].tolist())
-            for v in sorted(ids):
-                out_win.append(i)
-                out_id.append(int(v))
+        r_ids = self.part.r_ids.astype(np.int64)
+        mode_a = zero_a & (not full)
+        mode_b = zero_b & ~mode_a & (not full)
+        mode_c = ~(mode_a | mode_b)
 
-        return (np.asarray(out_win, dtype=np.int64),
-                np.asarray(out_id, dtype=np.int64))
+        win_parts = []
+        id_parts = []
+
+        wa = np.flatnonzero(mode_a)
+        win_parts.append(wa)
+        id_parts.append(zid[wa].astype(np.int64))
+        wb = np.flatnonzero(mode_b)
+        win_parts.append(wb)
+        id_parts.append(rzval[wb, 2].astype(np.int64))
+
+        cm = mode_c[:, None]
+        for found, ids_ in ((sf & cm, sid), (inf & cm, inid),
+                            (rinf & cm, rinid)):
+            w, c = np.nonzero(found)
+            win_parts.append(w)
+            id_parts.append(ids_[w, c].astype(np.int64))
+        # F-prefix groups expand to contiguous id ranges
+        w, c = np.nonzero((dcount > 0) & cm)
+        cnt = dcount[w, c].astype(np.int64)
+        st_ = dstart[w, c].astype(np.int64)
+        win_parts.append(np.repeat(w, cnt))
+        id_parts.append(np.repeat(st_, cnt) + _within(cnt))
+        # R groups expand through the r_ids array
+        for rc, rs in ((rs_count, rs_start), (rd_count, rd_start)):
+            w, c = np.nonzero((rc > 0) & cm)
+            cnt = rc[w, c].astype(np.int64)
+            st_ = rs[w, c].astype(np.int64)
+            flat = np.repeat(st_, cnt) + _within(cnt)
+            win_parts.append(np.repeat(w, cnt))
+            id_parts.append(r_ids[flat])
+
+        win_all = np.concatenate(win_parts)
+        id_all = np.concatenate(id_parts)
+        # de-dup per window; output sorted by (window, id)
+        key = win_all * (1 << 40) + id_all
+        uniq = np.unique(key)
+        return (uniq >> 40).astype(np.int64), \
+            (uniq & ((1 << 40) - 1)).astype(np.int64)
+
+
+def _within(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))

@@ -1,0 +1,237 @@
+"""Batched Smith-Waterman scoring on device (JAX/XLA, TPU-first).
+
+Replaces the reference's per-thread SIMD SSW (ssw.c sw_sse2_byte/word) with
+a batch-parallel column-scan DP:
+
+* the scan runs over reference columns (lax.scan, static length);
+* each step is pure VPU work over [B, Lq] int32 lanes;
+* the within-column gap recurrence (F) is closed-form via a prefix max
+  (valid because gap_open >= gap_ext, enforced by option validation),
+  computed with an associative scan -- no sequential inner loop;
+* tie-breaking matches ssw.c exactly: earliest max column (strict '>'
+  update, ssw.c:310-318), minimal row within it (ssw.c:327-336).
+
+The byte->word escalation of the reference (ssw.c:860-871) is subsumed:
+int32 lanes never saturate, which equals the word-mode result wherever the
+reference escalates and the byte-mode result elsewhere.
+
+The begin-coordinate pass (ssw_align's reverse alignment, ssw.c:900-918)
+reuses the same kernel on host-reversed prefixes with the 'terminate at
+known score' semantics expressed as masked updates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 30)
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_ext",
+                                             "terminate"))
+def sw_score_batch(query: jnp.ndarray,    # [B, Lq] int32 (0..4)
+                   qlen: jnp.ndarray,     # [B] int32
+                   ref: jnp.ndarray,      # [B, Lr] int32 (0..4)
+                   rlen: jnp.ndarray,     # [B] int32
+                   mat: jnp.ndarray,      # [5, 5] int32
+                   gap_open: int, gap_ext: int,
+                   terminate: bool = False,
+                   tscore: jnp.ndarray = None,   # [B] int32 (terminate mode)
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (score[B], end_ref[B], end_read[B]).
+
+    In terminate mode the scan stops updating once a column's max equals
+    ``tscore`` (the reverse/begin pass), reproducing ssw.c:324.
+    """
+    B, Lq = query.shape
+    Lr = ref.shape[1]
+    rows = jnp.arange(Lq, dtype=jnp.int32)
+    qmask = rows[None, :] < qlen[:, None]            # [B, Lq]
+
+    # per-pair substitution profile [B, Lq, 5]: score of query pos vs char c
+    prof = mat.T[query]                              # [B, Lq, 5]
+    prof = jnp.where(qmask[:, :, None], prof, NEG)
+
+    if tscore is None:
+        tscore = jnp.zeros((B,), dtype=jnp.int32)
+
+    def step(carry, j):
+        Hprev, E, best, end_ref, end_read, done = carry
+        rj = ref[:, j]                               # [B]
+        sub = jnp.take_along_axis(
+            prof, rj[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        diag = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), Hprev[:, :-1]], axis=1) + sub
+        E = jnp.maximum(E - gap_ext, Hprev - gap_open)
+        Hpre = jnp.maximum(0, jnp.maximum(diag, E))
+        g = Hpre - gap_open + rows[None, :] * gap_ext
+        gmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
+        F = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), gmax[:, :-1]], axis=1) \
+            - (rows[None, :] - 1) * gap_ext
+        H = jnp.maximum(Hpre, F)
+        H = jnp.where(qmask, H, 0)
+
+        colmax = H.max(axis=1)
+        valid = (j < rlen) & ~done
+        improved = (colmax > best) & valid
+        row = jnp.argmax(H == colmax[:, None], axis=1).astype(jnp.int32)
+        best = jnp.where(improved, colmax, best)
+        end_ref = jnp.where(improved, j, end_ref)
+        end_read = jnp.where(improved, row, end_read)
+        if terminate:
+            done = done | ((colmax == tscore) & valid)
+        return (H, E, best, end_ref, end_read, done), None
+
+    init = (
+        jnp.zeros((B, Lq), jnp.int32),
+        jnp.full((B, Lq), NEG, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        qlen - 1,                       # end_read init (ssw.c:171)
+        jnp.zeros((B,), bool),
+    )
+    (H, E, best, end_ref, end_read, done), _ = jax.lax.scan(
+        step, init, jnp.arange(Lr, dtype=jnp.int32))
+    return best, end_ref, end_read
+
+
+def pad_batch(seqs, lens, width, dtype=np.int32):
+    out = np.zeros((len(seqs), width), dtype=dtype)
+    for i, s in enumerate(seqs):
+        out[i, :lens[i]] = s
+    return out
+
+
+class JaxSwBackend:
+    """Device backend for the engine's SW waves.
+
+    Scoring + begin-coordinate passes run on device in padded shape
+    buckets; CIGAR traceback runs on the host (banded, only for accepted
+    alignments) via the native C++ kernel when available.
+    """
+
+    def __init__(self, mat: np.ndarray, gap_open: int, gap_ext: int,
+                 use_native: bool = True):
+        self.mat = jnp.asarray(mat, dtype=jnp.int32)
+        self.mat_np = np.asarray(mat, dtype=np.int64)
+        self.gap_open = int(gap_open)
+        self.gap_ext = int(gap_ext)
+        self.native = None
+        if use_native:
+            from .. import native
+            if native.have_native():
+                self.native = native
+
+    def _traceback_many(self, refs, queries, scores, bands):
+        if self.native is not None:
+            return self.native.traceback_batch(
+                refs, queries, scores, bands, self.gap_open, self.gap_ext,
+                self.mat_np)
+        from . import sw_ref
+        return [sw_ref.banded_sw_traceback(
+                    r, q, s, self.gap_open, self.gap_ext, b, self.mat_np)
+                for r, q, s, b in zip(refs, queries, scores, bands)]
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+
+    def batch(self, jobs):
+        if not jobs:
+            return []
+        results = [None] * len(jobs)
+        # group by padded shape bucket
+        groups = {}
+        for i, j in enumerate(jobs):
+            key = (self._bucket(len(j.query)), self._bucket(len(j.ref)))
+            groups.setdefault(key, []).append(i)
+
+        for (lq, lr), idxs in groups.items():
+            qs = [np.asarray(jobs[i].query, dtype=np.int32) for i in idxs]
+            rs = [np.asarray(jobs[i].ref, dtype=np.int32) for i in idxs]
+            qlen = np.array([len(q) for q in qs], dtype=np.int32)
+            rlen = np.array([len(r) for r in rs], dtype=np.int32)
+            B = self._bucket(len(idxs))
+            Q = np.zeros((B, lq), dtype=np.int32)
+            R = np.zeros((B, lr), dtype=np.int32)
+            for k, (q, r) in enumerate(zip(qs, rs)):
+                Q[k, :len(q)] = q
+                R[k, :len(r)] = r
+            ql = np.ones(B, dtype=np.int32)
+            rl = np.ones(B, dtype=np.int32)
+            ql[:len(idxs)] = qlen
+            rl[:len(idxs)] = rlen
+
+            score, end_ref, end_read = sw_score_batch(
+                jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(R),
+                jnp.asarray(rl), self.mat, self.gap_open, self.gap_ext)
+            score = np.asarray(score)
+            end_ref = np.asarray(end_ref)
+            end_read = np.asarray(end_read)
+
+            # begin pass for jobs meeting the threshold (flag=2 semantics,
+            # ssw.c:897)
+            need = [k for k in range(len(idxs))
+                    if score[k] >= jobs[idxs[k]].minimal_score
+                    and end_ref[k] >= 0]
+            beg_ref = np.full(len(idxs), -1, dtype=np.int64)
+            beg_read = np.full(len(idxs), -1, dtype=np.int64)
+            if need:
+                rq = [qs[k][end_read[k]::-1] for k in need]
+                rr = [rs[k][end_ref[k]::-1] for k in need]
+                B2 = self._bucket(len(need))
+                lq2 = self._bucket(max(len(x) for x in rq))
+                lr2 = self._bucket(max(len(x) for x in rr))
+                Q2 = np.zeros((B2, lq2), dtype=np.int32)
+                R2 = np.zeros((B2, lr2), dtype=np.int32)
+                ql2 = np.ones(B2, dtype=np.int32)
+                rl2 = np.ones(B2, dtype=np.int32)
+                ts = np.zeros(B2, dtype=np.int32)
+                for k2, k in enumerate(need):
+                    Q2[k2, :len(rq[k2])] = rq[k2]
+                    R2[k2, :len(rr[k2])] = rr[k2]
+                    ql2[k2] = len(rq[k2])
+                    rl2[k2] = len(rr[k2])
+                    ts[k2] = score[k]
+                s2, ec2, er2 = sw_score_batch(
+                    jnp.asarray(Q2), jnp.asarray(ql2), jnp.asarray(R2),
+                    jnp.asarray(rl2), self.mat, self.gap_open, self.gap_ext,
+                    terminate=True, tscore=jnp.asarray(ts))
+                ec2 = np.asarray(ec2)
+                er2 = np.asarray(er2)
+                for k2, k in enumerate(need):
+                    beg_ref[k] = end_ref[k] - ec2[k2]
+                    beg_read[k] = end_read[k] - er2[k2]
+
+            tb_refs, tb_qs, tb_scores, tb_bands, tb_at = [], [], [], [], []
+            for k, i in enumerate(idxs):
+                res = {"score1": int(score[k]),
+                       "ref_end1": int(end_ref[k]),
+                       "read_end1": int(end_read[k]),
+                       "ref_begin1": int(beg_ref[k]),
+                       "read_begin1": int(beg_read[k]),
+                       "cigar": None}
+                if beg_ref[k] >= 0:
+                    refw = rs[k][beg_ref[k]:end_ref[k] + 1]
+                    qw = qs[k][beg_read[k]:end_read[k] + 1]
+                    tb_refs.append(refw.astype(np.uint8))
+                    tb_qs.append(qw.astype(np.uint8))
+                    tb_scores.append(int(score[k]))
+                    tb_bands.append(abs(len(refw) - len(qw)) + 1)
+                    tb_at.append(i)
+                results[i] = res
+            if tb_at:
+                cigars = self._traceback_many(tb_refs, tb_qs, tb_scores,
+                                              tb_bands)
+                for i, cg in zip(tb_at, cigars):
+                    results[i]["cigar"] = cg
+        return results

@@ -1,12 +1,22 @@
 import os
 
-# Force CPU with a virtual 8-device mesh for sharding tests; real TPU runs
-# use the engine/bench entry points which do not import this conftest.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Force CPU with a virtual 8-device mesh for sharding tests (the ambient
+# environment may point JAX at a tunneled TPU); real TPU runs use the
+# engine/bench entry points which do not import this conftest.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8")
+
+# The axon TPU plugin (tunneled device) registers itself regardless of
+# JAX_PLATFORMS; pin the default device to CPU so tests never compile
+# through the tunnel.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
 
 import pathlib
 import sys
