@@ -79,7 +79,8 @@ def prepare(opts: RunOptions) -> RunContext:
     refstats = compute_refstats(
         indexes, readstats.all_reads_count, readstats.all_reads_len,
         opts.evalue, opts.match, opts.mismatch, opts.gap_open, opts.gap_ext,
-        gumbel_override=opts.gumbel_override)
+        gumbel_override=opts.gumbel_override,
+        cache_dir=opts.idx_dir or None)
 
     states = [ReadState() for _ in reads]
     for st in states:
@@ -149,3 +150,163 @@ def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):
     part = ctx.indexes[idx_num].parts[part_num]
     return load_part_refs(ctx.opts.ref_files[idx_num], part.first_seq,
                           part.numseq_part)
+
+
+# ---------------------------------------------------------------------------
+# post-processing + reports (main.cpp:83-112 task graph)
+
+
+def run_postprocess(ctx: RunContext) -> Dict[str, list]:
+    """denovo_stats + fill_otu_map (processor.cpp:368-438,
+    otumap.cpp:192-281).  Returns the OTU map."""
+    from .postprocess import denovo_stats_part, fill_otu_map_part
+
+    opts = ctx.opts
+    otu_map: Dict[str, list] = {}
+    if not (opts.is_otu_map or opts.is_denovo):
+        return otu_map
+    for idx_num, built in enumerate(ctx.indexes):
+        for part_num in range(len(built.parts)):
+            ref_seqs, ref_headers = part_ref_context(ctx, idx_num, part_num)
+            denovo_stats_part(ctx.reads, ctx.states, ref_seqs, idx_num,
+                              part_num, opts.min_id, opts.min_cov,
+                              ctx.readstats)
+    if opts.is_otu_map and ctx.readstats.n_yid_ycov > 0:
+        for idx_num, built in enumerate(ctx.indexes):
+            for part_num in range(len(built.parts)):
+                ref_seqs, ref_headers = part_ref_context(
+                    ctx, idx_num, part_num)
+                fill_otu_map_part(ctx.reads, ctx.states, ref_seqs,
+                                  ref_headers, idx_num, part_num,
+                                  opts.min_id, opts.min_cov, otu_map)
+        ctx.readstats.total_otu = len(otu_map)
+    return otu_map
+
+
+def _pairs(ctx: RunContext):
+    """Iterate reads in report order: pairs when paired, else singles."""
+    step = 2 if ctx.opts.is_paired else 1
+    for i in range(0, len(ctx.reads), step):
+        yield (ctx.reads[i:i + step], ctx.states[i:i + step])
+
+
+def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
+    """writeReports equivalent (output.cpp:80-272)."""
+    from ..reports.blast import blast_for_read
+    from ..reports.fastx import DenovoReport, FastxReport
+    from ..reports.sam import sam_for_read, sam_header
+    from ..reports.summary import write_summary
+    from .postprocess import write_otu_map
+
+    opts = ctx.opts
+    out_dir = os.path.dirname(opts.aligned_pfx) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    orig_fastq = [r.is_fastq for r in
+                  (ctx.reads[:2] if opts.is_paired else ctx.reads[:1])] \
+        or [False]
+
+    fastx = other = denovo = None
+    if opts.is_fastx:
+        fastx = FastxReport(opts, opts.aligned_pfx, orig_fastq, other=False)
+    if opts.is_other:
+        other = FastxReport(opts, opts.other_pfx, orig_fastq, other=True)
+    if opts.is_denovo:
+        denovo = DenovoReport(opts, opts.aligned_pfx + "_denovo",
+                              orig_fastq, other=False)
+
+    blast_f = sam_f = None
+    gz = opts.zip_out == 1
+    import gzip as _gzip
+    op = (lambda p: _gzip.open(p + ".gz", "wt")) if gz else \
+        (lambda p: open(p, "wt"))
+    if opts.is_blast:
+        blast_f = op(opts.aligned_pfx + ".blast")
+    if opts.is_sam:
+        sam_f = op(opts.aligned_pfx + ".sam")
+        sam_f.write(sam_header(
+            opts, [[(m.header, m.length) for m in ix.stats.sam_sq]
+                   for ix in ctx.indexes] if opts.is_SQ else []))
+
+    # single pass for fastx/other/denovo (output.cpp:126-144, 234-236)
+    if fastx or other or denovo:
+        from ..reports.fastx import is_denovo_read
+        for reads, states in _pairs(ctx):
+            if fastx:
+                fastx.append(reads, states)
+            if other:
+                other.append(reads, states)
+            if denovo:
+                if any(is_denovo_read(s) for s in states):
+                    denovo.append_denovo(reads, states)
+        for rep in (fastx, other, denovo):
+            if rep:
+                rep.close()
+
+    # per-part passes for blast/sam (output.cpp:146-149)
+    if blast_f or sam_f:
+        for idx_num, built in enumerate(ctx.indexes):
+            for part_num in range(len(built.parts)):
+                ref_seqs, ref_headers = part_ref_context(
+                    ctx, idx_num, part_num)
+                for read, st in zip(ctx.reads, ctx.states):
+                    if blast_f:
+                        blast_f.write(blast_for_read(
+                            read, st.alignments, ref_headers, ref_seqs,
+                            ctx.refstats, idx_num, part_num,
+                            opts.blast_format, opts.blastops,
+                            opts.is_print_all_reads))
+                    if sam_f:
+                        sam_f.write(sam_for_read(
+                            read, st.alignments, ref_headers, ref_seqs,
+                            idx_num, part_num, opts.is_print_all_reads))
+        for f in (blast_f, sam_f):
+            if f:
+                f.close()
+
+def run_all(opts: RunOptions, sw_backend=None) -> RunContext:
+    """Full task dispatch (main.cpp:83-112)."""
+    from ..reports.summary import write_summary
+    from .state import StateDB, readfiles_key
+
+    ctx = prepare(opts)
+    task = opts.task
+    otu_map: Dict[str, list] = {}
+
+    db = StateDB(opts.kvdb_dir) if opts.kvdb_dir else None
+
+    if db is not None and task in (1, 2):
+        # restore states from a previous align task
+        saved = db.load_states()
+        for r, i in ((r, i) for i, r in enumerate(ctx.reads)):
+            st = saved.get(r.id)
+            if st is not None:
+                ctx.states[i] = st
+        stats = db.load_readstats(readfiles_key(opts.reads_files))
+        if stats:
+            for k, v in stats.items():
+                if hasattr(ctx.readstats, k):
+                    setattr(ctx.readstats, k, v)
+
+    if task in (0, 3, 4):
+        run_align(ctx, sw_backend=sw_backend)
+        if db is not None:
+            db.save_states([r.id for r in ctx.reads], ctx.states)
+            db.save_readstats(readfiles_key(opts.reads_files),
+                              ctx.readstats)
+
+    if task in (1, 3, 4):
+        otu_map = run_postprocess(ctx)
+        if opts.is_otu_map:
+            from .postprocess import write_otu_map
+            out_dir = os.path.dirname(opts.aligned_pfx) or "."
+            os.makedirs(out_dir, exist_ok=True)
+            write_otu_map(otu_map, os.path.join(out_dir, "otu_map.txt"))
+        if db is not None:
+            db.save_states([r.id for r in ctx.reads], ctx.states)
+            db.save_readstats(readfiles_key(opts.reads_files),
+                              ctx.readstats)
+        write_summary(opts, ctx.refstats, ctx.readstats, len(otu_map))
+
+    if task in (2, 4):
+        run_reports(ctx, otu_map)
+    return ctx

@@ -159,9 +159,7 @@ def island_gumbel(match: int, mismatch: int, gap_open: int, gap_ext: int,
     # geometric tail MLE: lambda = ln(1 + 1/mean(S - t0))
     mean_excess = float((s - t0).mean())
     lam = float(np.log(1.0 + 1.0 / mean_excess))
-    # island density: E[#islands >= t0] = K' m n e^{-lambda t0}
+    # island density: P(max < t) = P(no island >= t) = exp(-K m n e^{-l t})
+    # so K = density(t0) * e^{lambda * t0}
     K = len(s) / cells * float(np.exp(lam * t0))
-    # finite-size Gumbel relation K = K' / (1 - e^{-lambda})^2 corrections
-    # are folded into the calibration constant below (empirical vs ALP).
-    K /= (1.0 - np.exp(-lam)) ** 2
     return lam, K

@@ -63,6 +63,7 @@ def compute_refstats(
     gap_open: int = 5,
     gap_ext: int = 2,
     gumbel_override: Optional[List[Tuple[float, float]]] = None,
+    cache_dir: Optional[str] = None,
 ) -> Refstats:
     n_idx = len(indexes)
     rs = Refstats(
@@ -80,7 +81,8 @@ def compute_refstats(
         if gumbel_override is not None and gumbel_override[i] is not None:
             lam, K = gumbel_override[i]
         else:
-            lam, K = island_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+            lam, K = _cached_gumbel(match, mismatch, gap_open, gap_ext,
+                                    freqs, cache_dir)
         rs.gumbel[i] = (lam, K)
 
         # Shannon entropy of the background (refstats.cpp:239-243)
@@ -99,6 +101,29 @@ def compute_refstats(
             math.log(evalue / (K * rs.full_ref[i] * rs.full_read[i]))
             / -lam)
     return rs
+
+
+def _cached_gumbel(match, mismatch, gap_open, gap_ext, freqs, cache_dir):
+    """Disk-cached estimator results, keyed by scoring + rounded freqs."""
+    import json
+    import os
+    key = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        f = np.asarray(freqs, dtype=np.float64)
+        key = "gumbel_%d_%d_%d_%d_%s.json" % (
+            match, mismatch, gap_open, gap_ext,
+            "_".join(f"{x:.6f}" for x in f))
+        path = os.path.join(cache_dir, key)
+        if os.path.exists(path):
+            with open(path) as fh:
+                d = json.load(fh)
+            return d["lambda"], d["K"]
+    lam, K = island_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+    if key is not None:
+        with open(os.path.join(cache_dir, key), "w") as fh:
+            json.dump({"lambda": lam, "K": K}, fh)
+    return lam, K
 
 
 def default_skiplengths(lnwin: int) -> List[int]:
