@@ -91,7 +91,9 @@ class FastxReport:
         hit = [s.is_hit for s in states]
         if opts.is_paired:
             if not self.other and not hit[0] and not hit[1]:
-                return
+                return    # neither aligned (report_fastx.cpp:71-72)
+            if self.other and hit[0] and hit[1]:
+                return    # both aligned (report_fx_other.cpp:53-54)
             for i in range(len(reads)):
                 idx = self._route(i, hit)
                 if idx is None:
