@@ -35,6 +35,10 @@ N_READS = int(os.environ.get("BENCH_READS", "4000"))
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/smr_tpu_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from sortmerna_tpu.constants import scoring_matrix_5x5

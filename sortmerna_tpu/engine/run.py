@@ -72,8 +72,9 @@ def prepare(opts: RunOptions) -> RunContext:
     readstats.min_read_len = int(min(lens)) if lens else 0
     readstats.max_read_len = int(max(lens)) if lens else 0
 
-    indexes = [build_index(p, opts.interval, opts.max_pos,
-                           opts.max_file_size)
+    from ..index.artifact import build_or_load
+    indexes = [build_or_load(p, opts.idx_dir or None, opts.interval,
+                             opts.max_pos, opts.max_file_size)
                for p in opts.ref_files]
 
     refstats = compute_refstats(

@@ -1,0 +1,100 @@
+"""Index artifact persistence: the '.kmer/.bursttrie/.pos/.stats' file
+family of the reference (indexdb.cpp:1939-2084) replaced by one .npz per
+part plus a JSON stats sidecar.
+
+Artifacts live in workdir/idx and are keyed by the reference fasta path
+hash + build parameters (the reference derives file names from a hash of
+the fasta path, util.cpp:216-220 / index.cpp:76).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .builder import BuiltIndex, IndexPart, IndexStats, RefSeqMeta, \
+    build_index
+
+_PART_FIELDS = [f.name for f in dataclasses.fields(IndexPart)
+                if f.name not in ("start_part", "seq_part_size",
+                                  "numseq_part", "first_seq")]
+
+
+def index_key(fasta_path: str, interval: int, max_pos: int,
+              max_file_size_mb: float, seed_win_len: int = 18) -> str:
+    st = os.stat(fasta_path)
+    h = hashlib.sha1()
+    h.update(str(os.path.abspath(fasta_path)).encode())
+    h.update(f"{st.st_size}:{st.st_mtime_ns}:{interval}:{max_pos}:"
+             f"{max_file_size_mb}:{seed_win_len}:v1".encode())
+    return h.hexdigest()[:16]
+
+
+def save_index(built: BuiltIndex, idx_dir: str, key: str) -> None:
+    os.makedirs(idx_dir, exist_ok=True)
+    stats = built.stats
+    meta = {
+        "fasta_path": stats.fasta_path,
+        "fasta_size": stats.fasta_size,
+        "background_freq": stats.background_freq.tolist(),
+        "full_len": stats.full_len,
+        "seed_win_len": stats.seed_win_len,
+        "numseq": stats.numseq,
+        "sam_sq": [[m.header, m.length] for m in stats.sam_sq],
+        "num_parts": len(built.parts),
+        "parts_meta": [[p.start_part, p.seq_part_size, p.numseq_part,
+                        p.first_seq] for p in built.parts],
+    }
+    with open(os.path.join(idx_dir, f"{key}.stats.json"), "w") as f:
+        json.dump(meta, f)
+    for i, p in enumerate(built.parts):
+        arrays = {name: getattr(p, name) for name in _PART_FIELDS}
+        np.savez(os.path.join(idx_dir, f"{key}.part{i}.npz"), **arrays)
+
+
+def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:
+    stats_path = os.path.join(idx_dir, f"{key}.stats.json")
+    if not os.path.exists(stats_path):
+        return None
+    with open(stats_path) as f:
+        meta = json.load(f)
+    stats = IndexStats(
+        fasta_path=meta["fasta_path"],
+        fasta_size=meta["fasta_size"],
+        background_freq=np.asarray(meta["background_freq"]),
+        full_len=meta["full_len"],
+        seed_win_len=meta["seed_win_len"],
+        numseq=meta["numseq"],
+        sam_sq=[RefSeqMeta(h, l) for h, l in meta["sam_sq"]],
+    )
+    parts: List[IndexPart] = []
+    for i in range(meta["num_parts"]):
+        p = os.path.join(idx_dir, f"{key}.part{i}.npz")
+        if not os.path.exists(p):
+            return None
+        z = np.load(p)
+        kw = {name: z[name] for name in _PART_FIELDS}
+        part = IndexPart(**kw)
+        (part.start_part, part.seq_part_size, part.numseq_part,
+         part.first_seq) = meta["parts_meta"][i]
+        parts.append(part)
+    return BuiltIndex(stats=stats, parts=parts)
+
+
+def build_or_load(fasta_path: str, idx_dir: Optional[str],
+                  interval: int = 1, max_pos: int = 10000,
+                  max_file_size_mb: float = 3072.0) -> BuiltIndex:
+    if idx_dir:
+        key = index_key(fasta_path, interval, max_pos, max_file_size_mb)
+        cached = load_index(idx_dir, key)
+        if cached is not None:
+            return cached
+    built = build_index(fasta_path, interval, max_pos, max_file_size_mb)
+    if idx_dir:
+        save_index(built, idx_dir, key)
+    return built

@@ -138,69 +138,93 @@ class JaxSwBackend:
                     r, q, s, self.gap_open, self.gap_ext, b, self.mat_np)
                 for r, q, s, b in zip(refs, queries, scores, bands)]
 
-    @staticmethod
-    def _bucket(n: int) -> int:
-        b = 64
-        while b < n:
-            b *= 2
-        return b
+    # Shape discipline: sequence lengths snap to a coarse geometric ladder
+    # and the batch dim is a single fixed block size, so the number of
+    # compiled programs stays tiny (important through slow-compile paths
+    # such as a tunneled device).
+    _LEN_LADDER = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+                   65536)
+    BLOCK = 1024
+
+    @classmethod
+    def _len_bucket(cls, n: int) -> int:
+        for b in cls._LEN_LADDER:
+            if n <= b:
+                return b
+        return cls._LEN_LADDER[-1]
+
+    @classmethod
+    def _min_block(cls, n: int) -> int:
+        for b in (64, 256, cls.BLOCK):
+            if n <= b:
+                return b
+        return cls.BLOCK
 
     def batch(self, jobs):
         if not jobs:
             return []
         results = [None] * len(jobs)
-        # group by padded shape bucket
+        # group by padded length bucket
         groups = {}
         for i, j in enumerate(jobs):
-            key = (self._bucket(len(j.query)), self._bucket(len(j.ref)))
+            key = (self._len_bucket(len(j.query)),
+                   self._len_bucket(len(j.ref)))
             groups.setdefault(key, []).append(i)
 
         for (lq, lr), idxs in groups.items():
             qs = [np.asarray(jobs[i].query, dtype=np.int32) for i in idxs]
             rs = [np.asarray(jobs[i].ref, dtype=np.int32) for i in idxs]
-            qlen = np.array([len(q) for q in qs], dtype=np.int32)
-            rlen = np.array([len(r) for r in rs], dtype=np.int32)
-            B = self._bucket(len(idxs))
-            Q = np.zeros((B, lq), dtype=np.int32)
-            R = np.zeros((B, lr), dtype=np.int32)
-            for k, (q, r) in enumerate(zip(qs, rs)):
-                Q[k, :len(q)] = q
-                R[k, :len(r)] = r
-            ql = np.ones(B, dtype=np.int32)
-            rl = np.ones(B, dtype=np.int32)
-            ql[:len(idxs)] = qlen
-            rl[:len(idxs)] = rlen
-
-            score, end_ref, end_read = sw_score_batch(
-                jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(R),
-                jnp.asarray(rl), self.mat, self.gap_open, self.gap_ext)
-            score = np.asarray(score)
-            end_ref = np.asarray(end_ref)
-            end_read = np.asarray(end_read)
+            n = len(idxs)
+            score = np.zeros(n, dtype=np.int32)
+            end_ref = np.zeros(n, dtype=np.int32)
+            end_read = np.zeros(n, dtype=np.int32)
+            for b0 in range(0, n, self.BLOCK):
+                bidx = range(b0, min(b0 + self.BLOCK, n))
+                B = self.BLOCK if n > self.BLOCK else \
+                    self._min_block(len(bidx))
+                Q = np.zeros((B, lq), dtype=np.int32)
+                R = np.zeros((B, lr), dtype=np.int32)
+                ql = np.ones(B, dtype=np.int32)
+                rl = np.ones(B, dtype=np.int32)
+                for k, i in enumerate(bidx):
+                    Q[k, :len(qs[i])] = qs[i]
+                    R[k, :len(rs[i])] = rs[i]
+                    ql[k] = len(qs[i])
+                    rl[k] = len(rs[i])
+                s, er, eq = sw_score_batch(
+                    jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(R),
+                    jnp.asarray(rl), self.mat, self.gap_open, self.gap_ext)
+                s = np.asarray(s)
+                er = np.asarray(er)
+                eq = np.asarray(eq)
+                for k, i in enumerate(bidx):
+                    score[i] = s[k]
+                    end_ref[i] = er[k]
+                    end_read[i] = eq[k]
 
             # begin pass for jobs meeting the threshold (flag=2 semantics,
             # ssw.c:897)
-            need = [k for k in range(len(idxs))
+            need = [k for k in range(n)
                     if score[k] >= jobs[idxs[k]].minimal_score
                     and end_ref[k] >= 0]
-            beg_ref = np.full(len(idxs), -1, dtype=np.int64)
-            beg_read = np.full(len(idxs), -1, dtype=np.int64)
-            if need:
-                rq = [qs[k][end_read[k]::-1] for k in need]
-                rr = [rs[k][end_ref[k]::-1] for k in need]
-                B2 = self._bucket(len(need))
-                lq2 = self._bucket(max(len(x) for x in rq))
-                lr2 = self._bucket(max(len(x) for x in rr))
-                Q2 = np.zeros((B2, lq2), dtype=np.int32)
-                R2 = np.zeros((B2, lr2), dtype=np.int32)
+            beg_ref = np.full(n, -1, dtype=np.int64)
+            beg_read = np.full(n, -1, dtype=np.int64)
+            for b0 in range(0, len(need), self.BLOCK):
+                bneed = need[b0:b0 + self.BLOCK]
+                B2 = self.BLOCK if len(need) > self.BLOCK else \
+                    self._min_block(len(bneed))
+                Q2 = np.zeros((B2, lq), dtype=np.int32)
+                R2 = np.zeros((B2, lr), dtype=np.int32)
                 ql2 = np.ones(B2, dtype=np.int32)
                 rl2 = np.ones(B2, dtype=np.int32)
                 ts = np.zeros(B2, dtype=np.int32)
-                for k2, k in enumerate(need):
-                    Q2[k2, :len(rq[k2])] = rq[k2]
-                    R2[k2, :len(rr[k2])] = rr[k2]
-                    ql2[k2] = len(rq[k2])
-                    rl2[k2] = len(rr[k2])
+                for k2, k in enumerate(bneed):
+                    rq = qs[k][end_read[k]::-1]
+                    rr = rs[k][end_ref[k]::-1]
+                    Q2[k2, :len(rq)] = rq
+                    R2[k2, :len(rr)] = rr
+                    ql2[k2] = len(rq)
+                    rl2[k2] = len(rr)
                     ts[k2] = score[k]
                 s2, ec2, er2 = sw_score_batch(
                     jnp.asarray(Q2), jnp.asarray(ql2), jnp.asarray(R2),
@@ -208,7 +232,7 @@ class JaxSwBackend:
                     terminate=True, tscore=jnp.asarray(ts))
                 ec2 = np.asarray(ec2)
                 er2 = np.asarray(er2)
-                for k2, k in enumerate(need):
+                for k2, k in enumerate(bneed):
                     beg_ref[k] = end_ref[k] - ec2[k2]
                     beg_read[k] = end_read[k] - er2[k2]
 
