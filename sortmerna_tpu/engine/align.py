@@ -115,6 +115,7 @@ def traverse_strand(
     backend,
     readstats: Readstats,
     is_last_strand: bool,
+    native_engine=None,
 ) -> None:
     """One strand of one index part for a batch of reads
     (traverse, paralleltraversal.cpp:81-297)."""
@@ -171,14 +172,20 @@ def traverse_strand(
                         prev_w = w
 
         # ---- LIS/SW stage for reads whose seed count reaches threshold
-        gens = []
-        for i in live:
-            if states[i].hit_seeds >= opts.num_seeds:
-                max_sw = len(reads[i]) * opts.match
-                gens.append((i, compute_lis_alignment(
-                    reads[i], states[i], trav[i].hits, forward, ctx, opts,
-                    readstats, max_sw)))
-        flags = run_candidate_waves(gens, backend)
+        if native_engine is not None:
+            items = [(i, trav[i].hits) for i in live
+                     if states[i].hit_seeds >= opts.num_seeds]
+            flags = native_engine.run_pass(items, states, backend,
+                                           readstats)
+        else:
+            gens = []
+            for i in live:
+                if states[i].hit_seeds >= opts.num_seeds:
+                    max_sw = len(reads[i]) * opts.match
+                    gens.append((i, compute_lis_alignment(
+                        reads[i], states[i], trav[i].hits, forward, ctx,
+                        opts, readstats, max_sw)))
+            flags = run_candidate_waves(gens, backend)
         for i, sflag in flags.items():
             trav[i].search = sflag
 
@@ -227,6 +234,7 @@ def align_part(
     skiplengths: Sequence[int],
     backend,
     readstats: Readstats,
+    use_native: bool = True,
 ) -> None:
     """Process one index part for a batch of reads: both strands
     (align2, processor.cpp:128-147)."""
@@ -234,6 +242,11 @@ def align_part(
 
     single = opts.is_forward ^ opts.is_reverse
     num_strands = 1 if single else 2
+
+    native_ok = use_native and hasattr(backend, "batch_coords")
+    if native_ok:
+        from .. import native
+        native_ok = native.have_native()
 
     for count in range(num_strands):
         forward = not ((single and opts.is_reverse) or count == 1)
@@ -243,8 +256,21 @@ def align_part(
                     and len(reads[i]) >= ctx.lnwin]
         if not ordinals:
             break
-        traverse_strand(reads, states, ordinals, forward, searcher, ctx,
-                        opts, skiplengths, backend, readstats, is_last)
+        engine = None
+        if native_ok:
+            from ..constants import scoring_matrix_5x5
+            from .native_driver import NativeCandidateEngine
+            mat = scoring_matrix_5x5(opts.match, opts.mismatch,
+                                     opts.score_n)
+            engine = NativeCandidateEngine(ctx, opts, reads, forward, mat)
+        try:
+            traverse_strand(reads, states, ordinals, forward, searcher,
+                            ctx, opts, skiplengths, backend, readstats,
+                            is_last, native_engine=engine)
+        finally:
+            if engine is not None:
+                engine.finalize_stats(readstats)
+                engine.close()
 
 
 def load_part_refs(fasta_path: str, first_seq: int, numseq_part: int

@@ -1,0 +1,187 @@
+"""Python driver for the native candidate engine (native/engine.cpp).
+
+Replaces the per-read Python coroutines of candidates.py in the hot path:
+the C++ side runs every read's compute_lis_alignment state machine and
+emits SW job coordinate arrays; the device scores them in fixed-shape
+batches; accepted alignments come back as action records (append /
+replace-min) that are applied to the Python ReadState objects.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .. import native
+from .candidates import Opts, PartContext, Readstats
+from .read import Alignment, ReadSeq, ReadState
+
+
+class NativeCandidateEngine:
+    def __init__(self, ctx: PartContext, opts: Opts,
+                 reads: List[ReadSeq], forward: bool,
+                 mat: np.ndarray):
+        self.lib = native.get_lib()
+        assert self.lib is not None
+        self.ctx = ctx
+        self.opts = opts
+        self.n_reads = len(reads)
+        self._forward = forward
+
+        # concatenated 04 buffers (kept alive for the engine's lifetime)
+        self.refs_off = np.zeros(len(ctx.ref_seqs) + 1, dtype=np.int64)
+        for i, s in enumerate(ctx.ref_seqs):
+            self.refs_off[i + 1] = self.refs_off[i] + len(s)
+        self.refs_data = (np.concatenate(
+            [np.asarray(s, np.uint8) for s in ctx.ref_seqs])
+            if ctx.ref_seqs else np.zeros(0, np.uint8))
+
+        self.reads_off = np.zeros(len(reads) + 1, dtype=np.int64)
+        bufs = []
+        for i, r in enumerate(reads):
+            b = np.asarray(r.strand04(forward), np.uint8)
+            bufs.append(b)
+            self.reads_off[i + 1] = self.reads_off[i] + len(b)
+        self.reads_data = np.concatenate(bufs) if bufs else \
+            np.zeros(0, np.uint8)
+
+        self.pos_offsets = np.ascontiguousarray(ctx.pos_offsets, np.int64)
+        self.pos_seq = np.ascontiguousarray(ctx.pos_seq, np.uint32)
+        self.pos_pos = np.ascontiguousarray(ctx.pos_pos, np.uint32)
+        self.mat = np.ascontiguousarray(mat, np.int8)
+
+        self.h = self.lib.cand_create(
+            self.pos_offsets.ctypes.data, self.pos_seq.ctypes.data,
+            self.pos_pos.ctypes.data,
+            self.refs_data.ctypes.data, self.refs_off.ctypes.data,
+            len(ctx.ref_seqs),
+            self.reads_data.ctypes.data, self.reads_off.ctypes.data,
+            len(reads),
+            opts.num_alignments, int(opts.is_best), opts.num_seeds,
+            opts.min_lis, opts.edges, int(opts.is_as_percent), opts.match,
+            int(ctx.minimal_score), ctx.lnwin, opts.gap_open, opts.gap_ext,
+            ctx.index_num, ctx.part_num, self.mat.ctypes.data)
+
+    def close(self):
+        if self.h:
+            self.lib.cand_destroy(self.h)
+            self.h = None
+
+    def run_pass(self, items: Sequence[Tuple[int, list]],
+                 states: List[ReadState], sw_backend,
+                 readstats: Readstats) -> Dict[int, bool]:
+        """Run compute_lis_alignment for the given (ordinal, hits) items.
+
+        hits: list of (kid, win).  Returns {ordinal: search_flag} and
+        applies all alignment actions + stat deltas.
+        """
+        lib = self.lib
+        base_aligned = lib.cand_stat_num_aligned(self.h)
+
+        for ord_, hits in items:
+            st = states[ord_]
+            kids = np.fromiter((h[0] for h in hits), np.int64,
+                               count=len(hits))
+            wins = np.fromiter((h[1] for h in hits), np.int64,
+                               count=len(hits))
+            scores = np.asarray([a.score1 for a in st.alignments],
+                                np.int32)
+            idxn = np.asarray([a.index_num for a in st.alignments],
+                              np.int32)
+            lib.cand_start(
+                self.h, ord_, kids.ctypes.data, wins.ctypes.data,
+                len(hits), st.best, st.max_sw_count, int(st.is_hit),
+                len(scores), scores.ctypes.data, idxn.ctypes.data,
+                st.min_index, st.max_index)
+
+        # SW waves
+        while True:
+            n_active = lib.cand_num_active(self.h)
+            if n_active == 0:
+                break
+            job_read = np.zeros(n_active, np.int32)
+            q_off = np.zeros(n_active, np.int64)
+            q_len = np.zeros(n_active, np.int32)
+            r_off = np.zeros(n_active, np.int64)
+            r_len = np.zeros(n_active, np.int32)
+            minimal = np.zeros(n_active, np.int64)
+            n = lib.cand_next_jobs(
+                self.h, job_read.ctypes.data, q_off.ctypes.data,
+                q_len.ctypes.data, r_off.ctypes.data, r_len.ctypes.data,
+                minimal.ctypes.data)
+            assert n == n_active
+            res = sw_backend.batch_coords(
+                self.reads_data, q_off, q_len,
+                self.refs_data, r_off, r_len, minimal)
+            scores, rb, re, qb, qe = res
+            lib.cand_post(self.h, n, scores.ctypes.data, rb.ctypes.data,
+                          re.ctypes.data, qb.ctypes.data, qe.ctypes.data)
+
+        # collect search flags + state updates
+        out: Dict[int, bool] = {}
+        st6 = np.zeros(6, np.int32)
+        for ord_, _ in items:
+            lib.cand_read_state(self.h, ord_, st6.ctypes.data)
+            out[ord_] = bool(st6[0])
+            st = states[ord_]
+            st.best = int(st6[1])
+            st.max_sw_count = int(st6[2])
+            st.is_hit = bool(st6[3])
+            st.min_index = int(st6[4])
+            st.max_index = int(st6[5])
+
+        # apply actions
+        n_act = lib.cand_num_actions(self.h)
+        if n_act:
+            fields = np.zeros((n_act, 10), np.int32)
+            clens = np.zeros(n_act, np.int32)
+            lib.cand_export_actions(self.h, fields.ctypes.data,
+                                    clens.ctypes.data)
+            offs = np.zeros(n_act, np.int64)
+            if n_act > 1:
+                offs[1:] = np.cumsum(clens[:-1])
+            total = int(clens.sum())
+            cig = np.zeros(max(total, 1), np.uint32)
+            lib.cand_export_cigars(self.h, cig.ctypes.data,
+                                   offs.ctypes.data)
+            for i in range(n_act):
+                f = fields[i]
+                ord_ = int(f[0])
+                st = states[ord_]
+                aln = Alignment(
+                    index_num=self.ctx.index_num,
+                    part=self.ctx.part_num,
+                    ref_num=int(f[4]),
+                    read_begin1=int(f[8]),
+                    read_end1=int(f[9]),
+                    ref_begin1=int(f[6]),
+                    ref_end1=int(f[7]),
+                    readlen=int(self.reads_off[ord_ + 1]
+                                - self.reads_off[ord_]),
+                    score1=int(f[5]),
+                    strand=self._forward,
+                    cigar=cig[offs[i]:offs[i] + clens[i]].tolist(),
+                )
+                if f[1] == 0:
+                    st.alignments.append(aln)
+                else:
+                    st.alignments[int(f[2])] = aln
+                st.is_new_hit = True
+            lib.cand_clear_actions(self.h)
+
+        # stat deltas (drained incrementally)
+        readstats.num_aligned += int(
+            lib.cand_stat_num_aligned(self.h) - base_aligned)
+        return out
+
+    def finalize_stats(self, readstats: Readstats):
+        lib = self.lib
+        n = lib.cand_stat_num_dbs(self.h)
+        if n:
+            dbs = np.zeros(n, np.int32)
+            deltas = np.zeros(n, np.int64)
+            lib.cand_stat_dbs(self.h, dbs.ctypes.data, deltas.ctypes.data)
+            for d, v in zip(dbs, deltas):
+                readstats.reads_matched_per_db[int(d)] += int(v)

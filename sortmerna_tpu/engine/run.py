@@ -115,7 +115,11 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
     opts = ctx.opts
     if sw_backend is None:
         mat = scoring_matrix_5x5(opts.match, opts.mismatch, opts.score_n)
-        sw_backend = NumpySwBackend(mat, opts.gap_open, opts.gap_ext)
+        try:
+            from ..ops.sw_jax import JaxSwBackend
+            sw_backend = JaxSwBackend(mat, opts.gap_open, opts.gap_ext)
+        except Exception:
+            sw_backend = NumpySwBackend(mat, opts.gap_open, opts.gap_ext)
 
     n_idx = len(ctx.indexes)
     for idx_num, built in enumerate(ctx.indexes):

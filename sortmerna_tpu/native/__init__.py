@@ -31,13 +31,13 @@ def _build() -> Optional[ctypes.CDLL]:
     _TRIED = True
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so = _BUILD_DIR / "libsmrtpu_native.so"
-    src = _SRC_DIR / "traceback.cpp"
+    srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp"]
     if (not so.exists()
-            or so.stat().st_mtime < src.stat().st_mtime):
+            or any(so.stat().st_mtime < s.stat().st_mtime for s in srcs)):
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", str(so), str(src)],
+                 "-o", str(so)] + [str(s) for s in srcs],
                 check=True, capture_output=True)
         except Exception:
             return None
@@ -51,8 +51,43 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p]
+    lib.cand_create.restype = ctypes.c_void_p
+    lib.cand_create.argtypes = [ctypes.c_void_p] * 9 + \
+        [ctypes.c_int] * 7 + [ctypes.c_long] + [ctypes.c_int] * 5 + \
+        [ctypes.c_void_p]
+    lib.cand_destroy.argtypes = [ctypes.c_void_p]
+    lib.cand_start.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.cand_next_jobs.restype = ctypes.c_int32
+    lib.cand_next_jobs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.cand_post.argtypes = [ctypes.c_void_p, ctypes.c_int32] + \
+        [ctypes.c_void_p] * 5
+    lib.cand_num_active.restype = ctypes.c_int32
+    lib.cand_num_active.argtypes = [ctypes.c_void_p]
+    lib.cand_read_state.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                    ctypes.c_void_p]
+    lib.cand_num_actions.restype = ctypes.c_int32
+    lib.cand_num_actions.argtypes = [ctypes.c_void_p]
+    lib.cand_export_actions.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p]
+    lib.cand_export_cigars.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
+    lib.cand_clear_actions.argtypes = [ctypes.c_void_p]
+    lib.cand_stat_num_aligned.restype = ctypes.c_int64
+    lib.cand_stat_num_aligned.argtypes = [ctypes.c_void_p]
+    lib.cand_stat_num_dbs.restype = ctypes.c_int32
+    lib.cand_stat_num_dbs.argtypes = [ctypes.c_void_p]
+    lib.cand_stat_dbs.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p]
     _LIB = lib
     return lib
+
+
+def get_lib():
+    return _build()
 
 
 def have_native() -> bool:

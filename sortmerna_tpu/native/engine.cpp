@@ -1,0 +1,576 @@
+// Native candidate-selection engine: the per-read LIS/SW-window state
+// machines of compute_lis_alignment (alignment.cpp:100-509) with a wave
+// interface -- the host-side runtime partner of the device SW kernel.
+//
+// Per wave:
+//   cand_next_jobs()  -> one pending SW job per active read (coordinates
+//                        into the concatenated read/ref buffers)
+//   [device computes scores + begin/end]
+//   cand_post()       -> resume every FSM with its result; accepted
+//                        alignments get their CIGAR from the banded
+//                        traceback (traceback.cpp semantics) immediately,
+//                        and bookkeeping actions (append / replace-min,
+//                        first-hit) are recorded for export.
+//
+// Faithful ports: candidate ordering (freq desc, seq asc,
+// alignment.cpp:143-148), best-N budget (165-169), heuristic 1 (239-249),
+// LIS (58-98), SW window overhang geometry (283-357), acceptance and
+// replace-min bookkeeping (388-473) including the reference's
+// reads_matched_per_db replacement quirk (alignment.cpp:454).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <vector>
+
+extern "C" int traceback_one_c(const uint8_t*, int, const uint8_t*, int,
+                               int, int, int, int, const int8_t*,
+                               uint32_t*, int);
+
+namespace {
+
+// ---------------------------------------------------------------- LIS
+// find_lis (alignment.cpp:58-98)
+static void find_lis(const std::deque<std::pair<uint32_t, uint32_t>>& a,
+                     std::vector<uint32_t>& b) {
+    b.clear();
+    if (a.empty()) return;
+    std::vector<uint32_t> p(a.size(), 0);
+    b.push_back(0);
+    for (size_t i = 1; i < a.size(); ++i) {
+        if (a[b.back()].second < a[i].second) {
+            p[i] = b.back();
+            b.push_back((uint32_t)i);
+            continue;
+        }
+        size_t u = 0, v = b.size() - 1;
+        while (u < v) {
+            size_t c = (u + v) / 2;
+            if (a[b[c]].second < a[i].second) u = c + 1; else v = c;
+        }
+        if (a[i].second < a[b[u]].second) {
+            if (u > 0) p[i] = b[u - 1];
+            b[u] = (uint32_t)i;
+        }
+    }
+    size_t u = b.size();
+    uint32_t v = b.back();
+    while (u--) { b[u] = v; v = p[v]; }
+}
+
+struct Opts {
+    int num_alignments, is_best, num_seeds, min_lis, edges, is_as_percent;
+    int match_, lnwin, gap_open, gap_ext;
+    long minimal_score;
+    int index_num, part_num, strand_forward;
+    int8_t mat[25];
+};
+
+struct Action {
+    int32_t read_ord;
+    int32_t kind;        // 0 = append, 1 = replace
+    int32_t slot;        // replace: which alignment slot
+    int32_t first_hit;   // 1 if this made read.is_hit true
+    int32_t ref_num;
+    int32_t score;
+    int32_t rb, re, qb, qe;   // final (offset-corrected) coordinates
+    std::vector<uint32_t> cigar;
+};
+
+struct FSM {
+    int32_t ord = -1;
+    // mutable read state
+    int best = 0;
+    int max_sw_count = 0;
+    bool is_hit = false;
+    std::vector<int32_t> scores;     // stored alignment scores (all parts)
+    std::vector<int32_t> idxnums;    // their index_num values
+    int min_index = 0, max_index = 0;
+    bool search = true;              // return value
+    // candidate machinery
+    std::vector<std::pair<uint32_t, uint32_t>> cands;   // (seq, freq)
+    size_t k = 0;
+    bool is_aligned = false;
+    bool is_search_candidates = true;
+    std::vector<std::pair<uint32_t, uint32_t>> hits_on_ref;
+    size_t it = 0;
+    std::deque<std::pair<uint32_t, uint32_t>> match_set;
+    int64_t begin_ref = 0, begin_read = 0;
+    // flattened hit arrays (for hits_on_ref per candidate)
+    std::vector<uint32_t> h_seq, h_pos, h_win;
+    // pending job geometry
+    long aq = 0, ar = 0, head = 0, tail = 0, alen = 0;
+    uint32_t cur_ref = 0;
+    int phase = 0;   // 0: start candidate k, 1: window loop top,
+                     // 2: awaiting SW result, 3: done
+    bool in_window_loop = false;
+};
+
+struct Engine {
+    Opts o;
+    // part data
+    const int64_t* pos_off;
+    const uint32_t* pos_seq;
+    const uint32_t* pos_pos;
+    const uint8_t* refs_data;
+    const int64_t* refs_off;
+    int32_t n_refs;
+    const uint8_t* reads_data;
+    const int64_t* reads_off;
+    int32_t n_reads;
+    std::vector<FSM> fsms;
+    std::vector<int32_t> active;      // indices into fsms with pending job
+    std::vector<Action> actions;
+    // readstats deltas
+    int64_t d_num_aligned = 0;
+    std::map<int, int64_t> d_matched_per_db;
+};
+
+static int read_len(Engine* e, int ord) {
+    return (int)(e->reads_off[ord + 1] - e->reads_off[ord]);
+}
+static int ref_len(Engine* e, int r) {
+    return (int)(e->refs_off[r + 1] - e->refs_off[r]);
+}
+
+// Build candidate list for a read (alignment.cpp:117-148)
+static void build_cands(Engine* e, FSM& f,
+                        const int64_t* kids, const int64_t* wins,
+                        int n_hits) {
+    std::map<uint32_t, uint32_t> freq;
+    size_t total = 0;
+    for (int h = 0; h < n_hits; ++h) {
+        int64_t kid = kids[h];
+        for (int64_t j = e->pos_off[kid]; j < e->pos_off[kid + 1]; ++j)
+            freq[e->pos_seq[j]]++;
+        total += (size_t)(e->pos_off[kid + 1] - e->pos_off[kid]);
+    }
+    f.cands.clear();
+    for (auto& kv : freq)
+        if (kv.second >= (uint32_t)e->o.num_seeds)
+            f.cands.push_back(kv);
+    std::stable_sort(f.cands.begin(), f.cands.end(),
+                     [](const std::pair<uint32_t, uint32_t>& a,
+                        const std::pair<uint32_t, uint32_t>& b) {
+                         if (a.second == b.second) return a.first < b.first;
+                         return a.second > b.second;
+                     });
+    // flatten positions for per-candidate filtering
+    f.h_seq.clear(); f.h_pos.clear(); f.h_win.clear();
+    f.h_seq.reserve(total); f.h_pos.reserve(total); f.h_win.reserve(total);
+    for (int h = 0; h < n_hits; ++h) {
+        int64_t kid = kids[h];
+        for (int64_t j = e->pos_off[kid]; j < e->pos_off[kid + 1]; ++j) {
+            f.h_seq.push_back(e->pos_seq[j]);
+            f.h_pos.push_back(e->pos_pos[j]);
+            f.h_win.push_back((uint32_t)wins[h]);
+        }
+    }
+}
+
+// Start candidate k: returns true if the candidate loop should proceed
+// to the window loop, false if the whole call is done.
+static bool start_candidate(Engine* e, FSM& f) {
+    for (;;) {
+        if (f.k >= f.cands.size() || !f.is_search_candidates) return false;
+        uint32_t max_ref = f.cands[f.k].first;
+        uint32_t max_occur = f.cands[f.k].second;
+        if (max_occur < (uint32_t)e->o.num_seeds) return false;
+        if (f.is_aligned && e->o.min_lis > 0 && f.k > 0
+            && max_occur < f.cands[f.k - 1].second) {
+            if (--f.best < 1) return false;
+        }
+        // hits on this reference sorted by (pos, win)
+        f.hits_on_ref.clear();
+        for (size_t j = 0; j < f.h_seq.size(); ++j)
+            if (f.h_seq[j] == max_ref)
+                f.hits_on_ref.emplace_back(f.h_pos[j], f.h_win[j]);
+        std::sort(f.hits_on_ref.begin(), f.hits_on_ref.end());
+        f.cur_ref = max_ref;
+        f.it = 0;
+        f.match_set.clear();
+        f.begin_ref = f.hits_on_ref[0].first;
+        f.begin_read = f.hits_on_ref[0].second;
+        return true;
+    }
+}
+
+// One iteration of the window loop up to either an SW job (returns 1,
+// geometry stored in FSM) or candidate exhausted (returns 0).
+static int window_loop(Engine* e, FSM& f) {
+    int readlen = read_len(e, f.ord);
+    for (;;) {
+        if (f.it >= f.hits_on_ref.size() || !f.is_search_candidates)
+            return 0;
+        int64_t end_ref_max = f.begin_ref + readlen - f.begin_read
+                              - e->o.lnwin + 1;
+        bool push = false;
+        while (f.it < f.hits_on_ref.size()
+               && (int64_t)f.hits_on_ref[f.it].first <= end_ref_max) {
+            f.match_set.push_back(f.hits_on_ref[f.it]);
+            push = true;
+            ++f.it;
+        }
+        bool do_align = true;
+        if (!push && f.is_aligned) do_align = false;   // heuristic 1
+        else f.is_aligned = false;
+
+        if (do_align && f.match_set.size() >= (size_t)e->o.num_seeds) {
+            std::vector<uint32_t> lis;
+            find_lis(f.match_set, lis);
+            if (lis.size() >= (size_t)e->o.min_lis) {
+                long lcs_r = f.match_set[lis[0]].first;
+                long lcs_q = f.match_set[lis[0]].second;
+                long reflen = ref_len(e, (int)f.cur_ref);
+                long edges = e->o.is_as_percent
+                    ? (long)((e->o.edges / 100.0) * readlen)
+                    : (long)e->o.edges;
+                long head = 0, tail = 0, ars, aqs, alen;
+                if (lcs_r < lcs_q) {
+                    ars = 0;
+                    aqs = lcs_q - lcs_r;
+                    head = 0;
+                    if (reflen < readlen) {
+                        tail = 0;
+                        if (aqs > readlen - reflen)
+                            alen = reflen - (aqs - (readlen - reflen));
+                        else
+                            alen = reflen;
+                    } else {
+                        tail = reflen - ars - readlen;
+                        if (tail > edges - 1) tail = edges;
+                        alen = readlen + head + tail - aqs;
+                    }
+                } else {
+                    ars = lcs_r - lcs_q;
+                    aqs = 0;
+                    if (ars > edges - 1) head = edges;
+                    if (ars + readlen > reflen) {
+                        tail = 0;
+                        alen = reflen - ars - head;
+                    } else {
+                        tail = reflen - ars - readlen;
+                        if (tail > edges - 1) tail = edges;
+                        alen = readlen + head + tail;
+                    }
+                }
+                f.aq = aqs; f.ar = ars; f.head = head; f.tail = tail;
+                f.alen = alen;
+                return 1;   // job ready
+            }
+        }
+        // pop (alignment.cpp:486-506)
+        if (!f.match_set.empty()) f.match_set.pop_front();
+        if (f.match_set.empty()) {
+            if (f.it < f.hits_on_ref.size()) {
+                f.begin_ref = f.hits_on_ref[f.it].first;
+                f.begin_read = f.hits_on_ref[f.it].second;
+            } else
+                return 0;
+        } else {
+            f.begin_ref = f.match_set.front().first;
+            f.begin_read = f.match_set.front().second;
+        }
+    }
+}
+
+// advance an FSM until it has a pending job or is done
+static void advance(Engine* e, FSM& f) {
+    for (;;) {
+        if (f.phase == 0) {
+            if (!start_candidate(e, f)) { f.phase = 3; return; }
+            f.phase = 1;
+        }
+        if (f.phase == 1) {
+            if (window_loop(e, f)) { f.phase = 2; return; }
+            ++f.k;
+            f.phase = 0;
+        }
+        if (f.phase == 3) return;
+    }
+}
+
+static int find_min_idx(const std::vector<int32_t>& s) {
+    int mi = 0;
+    for (size_t i = 0; i < s.size(); ++i)
+        if (s[i] < s[mi]) mi = (int)i;
+    return mi;
+}
+static int find_max_idx(const std::vector<int32_t>& s) {
+    int mi = 0;
+    for (size_t i = 0; i < s.size(); ++i)
+        if (s[i] > s[mi]) mi = (int)i;
+    return mi;
+}
+
+// apply an SW result (alignment.cpp:388-473)
+static void post_result(Engine* e, FSM& f, int32_t score,
+                        int32_t rb, int32_t re, int32_t qb, int32_t qe) {
+    const Opts& o = e->o;
+    int readlen = read_len(e, f.ord);
+    f.is_aligned = score > o.minimal_score;
+    if (f.is_aligned) {
+        long max_sw = (long)readlen * o.match_;
+        if (score == max_sw) ++f.max_sw_count;
+
+        Action a;
+        a.read_ord = f.ord;
+        a.ref_num = (int32_t)f.cur_ref;
+        a.score = score;
+        a.rb = rb + (int32_t)(f.ar - f.head);
+        a.re = re + (int32_t)(f.ar - f.head);
+        a.qb = qb + (int32_t)f.aq;
+        a.qe = qe + (int32_t)f.aq;
+        a.first_hit = 0;
+
+        // traceback over the clipped window
+        {
+            const uint8_t* rw = e->refs_data + e->refs_off[f.cur_ref]
+                                + (f.ar - f.head) + rb;
+            const uint8_t* qw = e->reads_data + e->reads_off[f.ord]
+                                + f.aq + qb;
+            int rl = re - rb + 1;
+            int ql = qe - qb + 1;
+            int band = rl > ql ? rl - ql + 1 : ql - rl + 1;
+            a.cigar.resize(4096);
+            int n = traceback_one_c(rw, rl, qw, ql, score, (int)o.gap_open,
+                                    (int)o.gap_ext, band, o.mat,
+                                    a.cigar.data(), 4096);
+            if (n < 0) n = 0;
+            a.cigar.resize(n);
+        }
+
+        if (!f.is_hit) {
+            f.is_hit = true;
+            a.first_hit = 1;
+            e->d_num_aligned++;
+            e->d_matched_per_db[o.index_num]++;
+        }
+
+        int nal = (int)f.scores.size();
+        if (o.num_alignments == 0 || !o.is_best
+            || nal < o.num_alignments) {
+            a.kind = 0;
+            a.slot = nal;
+            f.scores.push_back(score);
+            f.idxnums.push_back(o.index_num);
+        } else if (o.is_best && nal == o.num_alignments
+                   && f.scores[f.min_index] < score) {
+            if (o.num_alignments > 1 && f.max_index == 0
+                && f.min_index == 0) {
+                f.min_index = find_min_idx(f.scores);
+                f.max_index = find_max_idx(f.scores);
+            }
+            int mini = f.min_index;
+            a.kind = 1;
+            a.slot = mini;
+            f.scores[mini] = score;
+            f.idxnums[mini] = o.index_num;
+            if (score > f.scores[f.max_index] && f.scores.size() > 1) {
+                f.max_index = mini;
+                f.min_index = find_min_idx(f.scores);
+            }
+            // reference quirk: decrements the NEW alignment's db
+            // (alignment.cpp:454)
+            e->d_matched_per_db[f.idxnums[mini]]--;
+            e->d_matched_per_db[o.index_num]++;
+        } else {
+            a.kind = 2;   // accepted but not stored (score too low)
+        }
+        if (a.kind != 2) e->actions.push_back(std::move(a));
+
+        if (o.num_alignments > 0) {
+            if (o.is_best) {
+                if (o.num_alignments == f.max_sw_count)
+                    f.is_search_candidates = false;
+            } else if (o.num_alignments == (int)f.scores.size())
+                f.is_search_candidates = false;
+        }
+        f.search = false;
+    }
+    // resume window loop: pop step after the align attempt
+    if (!f.match_set.empty()) f.match_set.pop_front();
+    if (f.match_set.empty()) {
+        if (f.it < f.hits_on_ref.size()) {
+            f.begin_ref = f.hits_on_ref[f.it].first;
+            f.begin_read = f.hits_on_ref[f.it].second;
+        } else {
+            ++f.k;
+            f.phase = 0;
+            return;
+        }
+    } else {
+        f.begin_ref = f.match_set.front().first;
+        f.begin_read = f.match_set.front().second;
+    }
+    f.phase = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cand_create(const int64_t* pos_off, const uint32_t* pos_seq,
+                  const uint32_t* pos_pos,
+                  const uint8_t* refs_data, const int64_t* refs_off,
+                  int32_t n_refs,
+                  const uint8_t* reads_data, const int64_t* reads_off,
+                  int32_t n_reads,
+                  int num_alignments, int is_best, int num_seeds,
+                  int min_lis, int edges, int is_as_percent, int match_,
+                  long minimal_score, int lnwin, int gap_open, int gap_ext,
+                  int index_num, int part_num, const int8_t* mat) {
+    Engine* e = new Engine();
+    e->pos_off = pos_off;
+    e->pos_seq = pos_seq;
+    e->pos_pos = pos_pos;
+    e->refs_data = refs_data;
+    e->refs_off = refs_off;
+    e->n_refs = n_refs;
+    e->reads_data = reads_data;
+    e->reads_off = reads_off;
+    e->n_reads = n_reads;
+    e->o.num_alignments = num_alignments;
+    e->o.is_best = is_best;
+    e->o.num_seeds = num_seeds;
+    e->o.min_lis = min_lis;
+    e->o.edges = edges;
+    e->o.is_as_percent = is_as_percent;
+    e->o.match_ = match_;
+    e->o.minimal_score = minimal_score;
+    e->o.lnwin = lnwin;
+    e->o.gap_open = gap_open;
+    e->o.gap_ext = gap_ext;
+    e->o.index_num = index_num;
+    e->o.part_num = part_num;
+    std::memcpy(e->o.mat, mat, 25);
+    e->fsms.resize(n_reads);
+    return e;
+}
+
+void cand_destroy(void* h) { delete (Engine*)h; }
+
+// begin a compute_lis_alignment call for one read
+void cand_start(void* h, int32_t ord,
+                const int64_t* kids, const int64_t* wins, int32_t n_hits,
+                int32_t best, int32_t max_sw_count, int32_t is_hit,
+                int32_t n_stored, const int32_t* stored_scores,
+                const int32_t* stored_idxnums,
+                int32_t min_index, int32_t max_index) {
+    Engine* e = (Engine*)h;
+    FSM& f = e->fsms[ord];
+    f = FSM();
+    f.ord = ord;
+    f.best = best;
+    f.max_sw_count = max_sw_count;
+    f.is_hit = is_hit != 0;
+    f.scores.assign(stored_scores, stored_scores + n_stored);
+    f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
+    f.min_index = min_index;
+    f.max_index = max_index;
+    build_cands(e, f, kids, wins, n_hits);
+    advance(e, f);
+    if (f.phase == 2) e->active.push_back(ord);
+}
+
+// collect pending jobs; returns count (same order as future cand_post)
+int32_t cand_next_jobs(void* h, int32_t* job_read,
+                       int64_t* q_off, int32_t* q_len,
+                       int64_t* r_off, int32_t* r_len,
+                       int64_t* minimal) {
+    Engine* e = (Engine*)h;
+    int32_t n = 0;
+    for (int32_t ord : e->active) {
+        FSM& f = e->fsms[ord];
+        job_read[n] = ord;
+        q_off[n] = e->reads_off[ord] + f.aq;
+        q_len[n] = (int32_t)(f.alen - f.head - f.tail);
+        r_off[n] = e->refs_off[f.cur_ref] + (f.ar - f.head);
+        r_len[n] = (int32_t)f.alen;
+        minimal[n] = e->o.minimal_score;
+        ++n;
+    }
+    return n;
+}
+
+// feed SW results (parallel to the last cand_next_jobs output); FSMs
+// advance to their next job or completion.
+void cand_post(void* h, int32_t n, const int32_t* scores,
+               const int32_t* rb, const int32_t* re,
+               const int32_t* qb, const int32_t* qe) {
+    Engine* e = (Engine*)h;
+    std::vector<int32_t> prev;
+    prev.swap(e->active);
+    for (int32_t i = 0; i < n; ++i) {
+        FSM& f = e->fsms[prev[i]];
+        post_result(e, f, scores[i], rb[i], re[i], qb[i], qe[i]);
+        advance(e, f);
+        if (f.phase == 2) e->active.push_back(prev[i]);
+    }
+}
+
+int32_t cand_num_active(void* h) {
+    return (int32_t)((Engine*)h)->active.size();
+}
+
+// per-read final state: search flag, best, max_sw_count, is_hit
+void cand_read_state(void* h, int32_t ord, int32_t* out4) {
+    Engine* e = (Engine*)h;
+    FSM& f = e->fsms[ord];
+    out4[0] = f.search ? 1 : 0;
+    out4[1] = f.best;
+    out4[2] = f.max_sw_count;
+    out4[3] = f.is_hit ? 1 : 0;
+    out4[4] = f.min_index;
+    out4[5] = f.max_index;
+}
+
+int32_t cand_num_actions(void* h) {
+    return (int32_t)((Engine*)h)->actions.size();
+}
+
+// export actions: fixed fields + cigar lengths; cigar data via second call
+void cand_export_actions(void* h, int32_t* fields /*[n,10]*/,
+                         int32_t* cigar_len) {
+    Engine* e = (Engine*)h;
+    for (size_t i = 0; i < e->actions.size(); ++i) {
+        const Action& a = e->actions[i];
+        int32_t* r = fields + i * 10;
+        r[0] = a.read_ord; r[1] = a.kind; r[2] = a.slot; r[3] = a.first_hit;
+        r[4] = a.ref_num; r[5] = a.score;
+        r[6] = a.rb; r[7] = a.re; r[8] = a.qb; r[9] = a.qe;
+        cigar_len[i] = (int32_t)a.cigar.size();
+    }
+}
+
+void cand_export_cigars(void* h, uint32_t* out, const int64_t* offs) {
+    Engine* e = (Engine*)h;
+    for (size_t i = 0; i < e->actions.size(); ++i) {
+        const Action& a = e->actions[i];
+        std::memcpy(out + offs[i], a.cigar.data(),
+                    a.cigar.size() * sizeof(uint32_t));
+    }
+}
+
+void cand_clear_actions(void* h) { ((Engine*)h)->actions.clear(); }
+
+// readstats deltas: [num_aligned, n_db_entries, (db, delta)...]
+int64_t cand_stat_num_aligned(void* h) {
+    return ((Engine*)h)->d_num_aligned;
+}
+int32_t cand_stat_num_dbs(void* h) {
+    return (int32_t)((Engine*)h)->d_matched_per_db.size();
+}
+void cand_stat_dbs(void* h, int32_t* db, int64_t* delta) {
+    Engine* e = (Engine*)h;
+    int i = 0;
+    for (auto& kv : e->d_matched_per_db) {
+        db[i] = kv.first;
+        delta[i] = kv.second;
+        ++i;
+    }
+}
+
+}  // extern "C"

@@ -123,6 +123,15 @@ int traceback_one(const uint8_t* ref, int refLen,
 
 extern "C" {
 
+// single-alignment entry for other native modules (engine.cpp)
+int traceback_one_c(const uint8_t* ref, int refLen, const uint8_t* query,
+                    int readLen, int score, int gap_open, int gap_ext,
+                    int band_width, const int8_t* mat, uint32_t* cigar_out,
+                    int cigar_cap) {
+    return traceback_one(ref, refLen, query, readLen, score, gap_open,
+                         gap_ext, band_width, mat, cigar_out, cigar_cap);
+}
+
 // Batched: sequences packed back-to-back.
 // ref_data/query_data: concatenated windows; offsets via ref_off/query_off
 // (n+1 entries).  scores/bands per job.  cigars written into cigar_out

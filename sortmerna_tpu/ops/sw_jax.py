@@ -160,6 +160,82 @@ class JaxSwBackend:
                 return b
         return cls.BLOCK
 
+    def batch_coords(self, q_data: np.ndarray, q_off, q_len,
+                     r_data: np.ndarray, r_off, r_len, minimal):
+        """Coordinate-based scoring for the native candidate engine.
+
+        Returns (score, rb, re, qb, qe) int32 arrays with window-relative
+        begin/end coordinates (begin = -1 when score < minimal)."""
+        n = len(q_off)
+        score = np.zeros(n, np.int32)
+        end_ref = np.full(n, -1, np.int32)
+        end_read = np.zeros(n, np.int32)
+        beg_ref = np.full(n, -1, np.int32)
+        beg_read = np.full(n, -1, np.int32)
+        order = list(range(n))
+        # group by length bucket
+        groups = {}
+        for i in order:
+            key = (self._len_bucket(int(q_len[i])),
+                   self._len_bucket(int(r_len[i])))
+            groups.setdefault(key, []).append(i)
+        for (lq, lr), idxs in groups.items():
+            for b0 in range(0, len(idxs), self.BLOCK):
+                bidx = idxs[b0:b0 + self.BLOCK]
+                B = self.BLOCK if len(idxs) > self.BLOCK else \
+                    self._min_block(len(bidx))
+                Q = np.zeros((B, lq), np.int32)
+                R = np.zeros((B, lr), np.int32)
+                ql = np.ones(B, np.int32)
+                rl = np.ones(B, np.int32)
+                for k, i in enumerate(bidx):
+                    ql[k] = q_len[i]
+                    rl[k] = r_len[i]
+                    Q[k, :ql[k]] = q_data[q_off[i]:q_off[i] + ql[k]]
+                    R[k, :rl[k]] = r_data[r_off[i]:r_off[i] + rl[k]]
+                s, er, eq = sw_score_batch(
+                    jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(R),
+                    jnp.asarray(rl), self.mat, self.gap_open, self.gap_ext)
+                s = np.asarray(s)
+                er = np.asarray(er)
+                eq = np.asarray(eq)
+                for k, i in enumerate(bidx):
+                    score[i] = s[k]
+                    end_ref[i] = er[k]
+                    end_read[i] = eq[k]
+            # begin pass
+            need = [i for i in idxs
+                    if score[i] >= minimal[i] and end_ref[i] >= 0]
+            for b0 in range(0, len(need), self.BLOCK):
+                bneed = need[b0:b0 + self.BLOCK]
+                B2 = self.BLOCK if len(need) > self.BLOCK else \
+                    self._min_block(len(bneed))
+                Q2 = np.zeros((B2, lq), np.int32)
+                R2 = np.zeros((B2, lr), np.int32)
+                ql2 = np.ones(B2, np.int32)
+                rl2 = np.ones(B2, np.int32)
+                ts = np.zeros(B2, np.int32)
+                for k2, i in enumerate(bneed):
+                    q = q_data[q_off[i]:q_off[i] + q_len[i]].astype(np.int32)
+                    r = r_data[r_off[i]:r_off[i] + r_len[i]].astype(np.int32)
+                    rq = q[end_read[i]::-1]
+                    rr = r[end_ref[i]::-1]
+                    Q2[k2, :len(rq)] = rq
+                    R2[k2, :len(rr)] = rr
+                    ql2[k2] = len(rq)
+                    rl2[k2] = len(rr)
+                    ts[k2] = score[i]
+                s2, ec2, er2 = sw_score_batch(
+                    jnp.asarray(Q2), jnp.asarray(ql2), jnp.asarray(R2),
+                    jnp.asarray(rl2), self.mat, self.gap_open, self.gap_ext,
+                    terminate=True, tscore=jnp.asarray(ts))
+                ec2 = np.asarray(ec2)
+                er2 = np.asarray(er2)
+                for k2, i in enumerate(bneed):
+                    beg_ref[i] = end_ref[i] - ec2[k2]
+                    beg_read[i] = end_read[i] - er2[k2]
+        return score, beg_ref, end_ref, beg_read, end_read
+
     def batch(self, jobs):
         if not jobs:
             return []
