@@ -206,8 +206,15 @@ def _apply(opts: RunOptions, name: str, val: Optional[str], raw: dict):
         opts.task = t
     elif name in ("threads", "a"):
         opts.num_proc_thread = int(val)
+    elif name == "index":
+        v = int(val)
+        if v not in (0, 1, 2):
+            raise CliError("'--index' accepts 0 | 1 | 2")
+        opts.findex = v
+    elif name == "cmd":
+        opts.is_cmd = b
     elif name in ("thpp", "threp", "tmpdir", "readfeed", "dbg_put_db",
-                  "align", "filter", "score_split", "cmd", "index"):
+                  "align", "filter", "score_split"):
         pass    # accepted for surface compatibility; no-ops here
     elif name == "zip-out":
         opts.zip_out = 1 if val in (None, "1", "true") else 0
@@ -272,6 +279,18 @@ def print_help() -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     opts = parse_args(argv)
+    if opts.is_cmd:
+        from .engine.repl import CmdSession
+        CmdSession(opts).run()
+        return 0
+    if opts.findex == 1:
+        # index-only task (main.cpp:73-76)
+        from .index.artifact import build_or_load
+        for p in opts.ref_files:
+            build_or_load(p, opts.idx_dir or None, opts.interval,
+                          opts.max_pos, opts.max_file_size)
+        print("Only performed indexing as 'index' = 1 was specified")
+        return 0
     from .engine.run import run_all
     run_all(opts)
     return 0

@@ -31,7 +31,8 @@ def _build() -> Optional[ctypes.CDLL]:
     _TRIED = True
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so = _BUILD_DIR / "libsmrtpu_native.so"
-    srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp"]
+    srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp",
+            _SRC_DIR / "probe.cpp"]
     if (not so.exists()
             or any(so.stat().st_mtime < s.stat().st_mtime for s in srcs)):
         try:
@@ -82,6 +83,17 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.cand_stat_num_dbs.argtypes = [ctypes.c_void_p]
     lib.cand_stat_dbs.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_void_p]
+    lib.probe_windows.restype = ctypes.c_int64
+    lib.probe_windows.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64]                # fp
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]                # rx
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64]                # rp
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # k19
+        + [ctypes.c_void_p, ctypes.c_void_p]                      # r_ids, counts
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # windows
+        + [ctypes.c_int32, ctypes.c_int32]
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64])
     _LIB = lib
     return lib
 

@@ -1,0 +1,244 @@
+// Native seed-probe kernel: the enumerate-and-probe window search
+// (ops/seed_probe.py) in C++ for the host path.  Semantics identical to
+// the numpy backend (and to the reference trie traversal): subsearch 1a/1b
+// closed-form d<=1 neighborhoods, 9-mer occurrence gate, 0-error
+// short-circuit modes, per-window id de-duplication.
+//
+// The hash tables are the open-addressing tables built by
+// index/hashtab.py; the mixing function below must match hash_u64 there
+// bit-for-bit.
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t EMPTY_KEY = 0xFFFFFFFFFFFFFFFFull;
+constexpr int MAX_PROBES = 32;
+constexpr uint32_t M1 = 0x9E3779B1u;
+constexpr uint32_t M2 = 0x85EBCA77u;
+
+static inline uint64_t hash_slot(uint64_t key, uint64_t mask) {
+    uint32_t lo = (uint32_t)(key & 0x7FFFFull);
+    uint32_t hi = (uint32_t)((key >> 19) & 0x7FFFFull);
+    uint32_t h = lo * M1;
+    h ^= hi * M2;
+    h ^= h >> 15;
+    h *= M1;
+    h ^= h >> 13;
+    return (uint64_t)h & mask;
+}
+
+// generic lookup: returns slot index or -1
+static inline int64_t find_slot(const uint64_t* keys, int64_t size,
+                                uint64_t key) {
+    uint64_t mask = (uint64_t)size - 1;
+    uint64_t s = hash_slot(key, mask);
+    for (int p = 0; p < MAX_PROBES; ++p) {
+        uint64_t k = keys[s];
+        if (k == key) return (int64_t)s;
+        if (k == EMPTY_KEY) return -1;
+        s = (s + 1) & mask;
+    }
+    return -1;
+}
+
+static inline uint64_t rev9(uint64_t p) {
+    uint64_t out = 0;
+    for (int i = 0; i < 9; ++i) { out = (out << 2) | (p & 3); p >>= 2; }
+    return out;
+}
+static inline uint64_t rev8(uint64_t p) {
+    uint64_t out = 0;
+    for (int i = 0; i < 8; ++i) { out = (out << 2) | (p & 3); p >>= 2; }
+    return out;
+}
+
+struct Tables {
+    const uint64_t* fx_k; const uint32_t* fx_v; int64_t fx_n;
+    const uint64_t* fp_k; const uint32_t* fp_s; const uint32_t* fp_c;
+    int64_t fp_n;
+    const uint64_t* rx_k; const uint32_t* rx_s; const uint32_t* rx_c;
+    const uint32_t* rx_z; int64_t rx_n;
+    const uint64_t* rp_k; const uint32_t* rp_s; const uint32_t* rp_c;
+    int64_t rp_n;
+    const uint64_t* k19_k; const uint32_t* k19_v; int64_t k19_n;
+    const uint32_t* r_ids;
+    const uint32_t* counts9;
+};
+
+static inline void add_id(std::vector<int64_t>& ids, int64_t v) {
+    ids.push_back(v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of (win, id) pairs written, or -(needed) if cap is too
+// small (caller retries with a bigger buffer).
+int64_t probe_windows(
+    const uint64_t* fx_k, const uint32_t* fx_v, int64_t fx_n,
+    const uint64_t* fp_k, const uint32_t* fp_s, const uint32_t* fp_c,
+    int64_t fp_n,
+    const uint64_t* rx_k, const uint32_t* rx_s, const uint32_t* rx_c,
+    const uint32_t* rx_z, int64_t rx_n,
+    const uint64_t* rp_k, const uint32_t* rp_s, const uint32_t* rp_c,
+    int64_t rp_n,
+    const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
+    const uint32_t* r_ids, const uint32_t* counts9,
+    const int64_t* w1a, const int64_t* w2a, int64_t nw,
+    int32_t minoccur, int32_t full_search,
+    int64_t* out_win, int64_t* out_id, int64_t cap) {
+
+    Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
+             rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
+             k19_k, k19_v, k19_n, r_ids, counts9};
+    int64_t n_out = 0;
+    int64_t needed = 0;
+    std::vector<int64_t> ids;
+    ids.reserve(256);
+
+    for (int64_t w = 0; w < nw; ++w) {
+        uint64_t w1 = (uint64_t)w1a[w];
+        uint64_t w2 = (uint64_t)w2a[w];
+        bool gate_f = t.counts9[w1] > (uint32_t)minoccur;
+        bool gate_r = t.counts9[w2] > (uint32_t)minoccur;
+        ids.clear();
+
+        // ---- 1a zero: exact 18-mer
+        int64_t single = -1;
+        if (gate_f && !full_search) {
+            int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
+            if (s >= 0) single = (int64_t)t.fx_v[s];
+        }
+        if (single < 0) {
+            if (gate_f) {
+                // sub probes: original + 36 single-char swaps
+                {
+                    int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
+                    if (s >= 0) add_id(ids, t.fx_v[s]);
+                }
+                for (int i = 0; i < 9; ++i) {
+                    int shift = 2 * (8 - i);
+                    uint64_t cleared = w2 & ~(3ull << shift);
+                    for (uint64_t c = 0; c < 4; ++c) {
+                        uint64_t v = cleared | (c << shift);
+                        if (v == w2) continue;
+                        int64_t s = find_slot(t.fx_k, t.fx_n,
+                                              (w1 << 18) | v);
+                        if (s >= 0) add_id(ids, t.fx_v[s]);
+                    }
+                }
+                // del probes: 9 x 17-char prefixes -> contiguous id range
+                for (int k = 0; k < 9; ++k) {
+                    uint64_t hi = w2 >> (2 * (9 - k));
+                    uint64_t lo = w2 & ((1ull << (2 * (8 - k))) - 1);
+                    uint64_t d8 = (hi << (2 * (8 - k))) | lo;
+                    int64_t s = find_slot(t.fp_k, t.fp_n, (w1 << 16) | d8);
+                    if (s >= 0) {
+                        uint32_t st = t.fp_s[s], c = t.fp_c[s];
+                        for (uint32_t j = 0; j < c; ++j)
+                            add_id(ids, st + j);
+                    }
+                }
+                // ins probes: 36 x 19-mer membership
+                uint64_t p8 = w2 & 3;
+                for (int k = 0; k < 9; ++k) {
+                    uint64_t hi = w2 >> (2 * (9 - k));
+                    uint64_t mid = (w2 >> 2) & ((1ull << (2 * (8 - k))) - 1);
+                    for (uint64_t c = 0; c < 4; ++c) {
+                        uint64_t v9 = (((hi << 2) | c) << (2 * (8 - k)))
+                                      | mid;
+                        uint64_t key = (w1 << 20) | (v9 << 2) | p8;
+                        int64_t s = find_slot(t.k19_k, t.k19_n, key);
+                        if (s >= 0) add_id(ids, t.k19_v[s]);
+                    }
+                }
+            }
+            // ---- 1b
+            if (gate_r) {
+                // zero: R-exact group (w1.w2) -> representative
+                if (!full_search) {
+                    int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
+                    if (s >= 0) {
+                        single = (int64_t)t.rx_z[s];
+                        goto emit;
+                    }
+                }
+                uint64_t p_r = rev9(w1);
+                // sub probes
+                for (int col = 0; col < 37; ++col) {
+                    uint64_t v;
+                    if (col == 0) v = p_r;
+                    else {
+                        int i = (col - 1) / 4;
+                        uint64_t c = (uint64_t)((col - 1) % 4);
+                        int shift = 2 * (8 - i);
+                        v = (p_r & ~(3ull << shift)) | (c << shift);
+                        if (v == p_r) continue;
+                    }
+                    uint64_t key = (rev9(v) << 18) | w2;
+                    int64_t s = find_slot(t.rx_k, t.rx_n, key);
+                    if (s >= 0) {
+                        uint32_t st = t.rx_s[s], c2 = t.rx_c[s];
+                        for (uint32_t j = 0; j < c2; ++j)
+                            add_id(ids, t.r_ids[st + j]);
+                    }
+                }
+                // del probes
+                for (int k = 0; k < 9; ++k) {
+                    uint64_t hi = p_r >> (2 * (9 - k));
+                    uint64_t lo = p_r & ((1ull << (2 * (8 - k))) - 1);
+                    uint64_t d8 = (hi << (2 * (8 - k))) | lo;
+                    uint64_t key = (rev8(d8) << 18) | w2;
+                    int64_t s = find_slot(t.rp_k, t.rp_n, key);
+                    if (s >= 0) {
+                        uint32_t st = t.rp_s[s], c2 = t.rp_c[s];
+                        for (uint32_t j = 0; j < c2; ++j)
+                            add_id(ids, t.r_ids[st + j]);
+                    }
+                }
+                // ins probes
+                uint64_t c0 = w1 >> 16;
+                for (int k = 0; k < 9; ++k) {
+                    uint64_t hi = p_r >> (2 * (9 - k));
+                    uint64_t mid = (p_r >> 2)
+                                   & ((1ull << (2 * (8 - k))) - 1);
+                    for (uint64_t c = 0; c < 4; ++c) {
+                        uint64_t v9 = (((hi << 2) | c) << (2 * (8 - k)))
+                                      | mid;
+                        uint64_t key = (c0 << 36) | (rev9(v9) << 18) | w2;
+                        int64_t s = find_slot(t.k19_k, t.k19_n, key);
+                        if (s >= 0) add_id(ids, t.k19_v[s]);
+                    }
+                }
+            }
+        }
+    emit:
+        if (single >= 0) {
+            ++needed;
+            if (n_out < cap) {
+                out_win[n_out] = w;
+                out_id[n_out] = single;
+                ++n_out;
+            }
+            continue;
+        }
+        std::sort(ids.begin(), ids.end());
+        ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+        for (int64_t v : ids) {
+            ++needed;
+            if (n_out < cap) {
+                out_win[n_out] = w;
+                out_id[n_out] = v;
+                ++n_out;
+            }
+        }
+    }
+    if (needed > n_out) return -needed;
+    return n_out;
+}
+
+}  // extern "C"

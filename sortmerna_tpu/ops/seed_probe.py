@@ -113,16 +113,65 @@ def ins9_variants_vec(p: np.ndarray) -> np.ndarray:
 
 
 class SeedSearcher:
-    """Probes one IndexPart for batches of read windows."""
+    """Probes one IndexPart for batches of read windows.
+
+    Dispatches to the native C++ probe kernel when available; the numpy
+    path below is the reference backend (tests assert equality)."""
 
     def __init__(self, part: IndexPart, minoccur: int = 0,
-                 full_search: bool = False):
+                 full_search: bool = False, use_native: bool = True):
         self.part = part
         self.minoccur = minoccur
         self.full_search = full_search
+        self._lib = None
+        if use_native:
+            from .. import native
+            self._lib = native.get_lib()
+            if self._lib is not None:
+                self._cbufs = [np.ascontiguousarray(a) for a in (
+                    part.f_exact_keys, part.f_exact_vals,
+                    part.f_pref_keys, part.f_pref_start, part.f_pref_count,
+                    part.r_exact_keys, part.r_exact_start,
+                    part.r_exact_count, part.r_exact_zero,
+                    part.r_pref_keys, part.r_pref_start, part.r_pref_count,
+                    part.k19_keys, part.k19_vals,
+                    part.r_ids, part.kmer_counts)]
 
     def search_windows(self, w1: np.ndarray, w2: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._lib is not None:
+            return self._search_native(w1, w2)
+        return self._search_numpy(w1, w2)
+
+    def _search_native(self, w1, w2):
+        (fxk, fxv, fpk, fps, fpc, rxk, rxs, rxc, rxz, rpk, rps, rpc,
+         k19k, k19v, rids, cnts) = self._cbufs
+        w1 = np.ascontiguousarray(w1, np.int64)
+        w2 = np.ascontiguousarray(w2, np.int64)
+        nw = len(w1)
+        cap = max(4 * nw, 1024)
+        while True:
+            out_win = np.zeros(cap, np.int64)
+            out_id = np.zeros(cap, np.int64)
+            n = self._lib.probe_windows(
+                fxk.ctypes.data, fxv.ctypes.data, len(fxk),
+                fpk.ctypes.data, fps.ctypes.data, fpc.ctypes.data,
+                len(fpk),
+                rxk.ctypes.data, rxs.ctypes.data, rxc.ctypes.data,
+                rxz.ctypes.data, len(rxk),
+                rpk.ctypes.data, rps.ctypes.data, rpc.ctypes.data,
+                len(rpk),
+                k19k.ctypes.data, k19v.ctypes.data, len(k19k),
+                rids.ctypes.data, cnts.ctypes.data,
+                w1.ctypes.data, w2.ctypes.data, nw,
+                self.minoccur, int(self.full_search),
+                out_win.ctypes.data, out_id.ctypes.data, cap)
+            if n >= 0:
+                return out_win[:n], out_id[:n]
+            cap = int(-n) + 16
+
+    def _search_numpy(self, w1: np.ndarray, w2: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Search a batch of windows.
 
         w1, w2: int64[nw] packed 9-mer halves (MSB-first).

@@ -179,20 +179,33 @@ class JaxSwBackend:
             key = (self._len_bucket(int(q_len[i])),
                    self._len_bucket(int(r_len[i])))
             groups.setdefault(key, []).append(i)
+        q_off = np.asarray(q_off, np.int64)
+        q_len = np.asarray(q_len, np.int64)
+        r_off = np.asarray(r_off, np.int64)
+        r_len = np.asarray(r_len, np.int64)
+
+        def gather_rows(data, off, lens, B, L):
+            """[B, L] padded gather from a concatenated buffer."""
+            n_ = len(off)
+            pos = np.arange(L, dtype=np.int64)[None, :]
+            idx = np.minimum(off[:, None] + pos, len(data) - 1)
+            M = data[idx].astype(np.int32)
+            M[pos >= lens[:, None]] = 0
+            out = np.zeros((B, L), np.int32)
+            out[:n_] = M
+            lo = np.ones(B, np.int32)
+            lo[:n_] = np.maximum(lens, 1)
+            return out, lo
+
         for (lq, lr), idxs in groups.items():
+            ia = np.asarray(idxs, np.int64)
             for b0 in range(0, len(idxs), self.BLOCK):
                 bidx = idxs[b0:b0 + self.BLOCK]
+                ba = ia[b0:b0 + self.BLOCK]
                 B = self.BLOCK if len(idxs) > self.BLOCK else \
                     self._min_block(len(bidx))
-                Q = np.zeros((B, lq), np.int32)
-                R = np.zeros((B, lr), np.int32)
-                ql = np.ones(B, np.int32)
-                rl = np.ones(B, np.int32)
-                for k, i in enumerate(bidx):
-                    ql[k] = q_len[i]
-                    rl[k] = r_len[i]
-                    Q[k, :ql[k]] = q_data[q_off[i]:q_off[i] + ql[k]]
-                    R[k, :rl[k]] = r_data[r_off[i]:r_off[i] + rl[k]]
+                Q, ql = gather_rows(q_data, q_off[ba], q_len[ba], B, lq)
+                R, rl = gather_rows(r_data, r_off[ba], r_len[ba], B, lr)
                 s, er, eq = sw_score_batch(
                     jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(R),
                     jnp.asarray(rl), self.mat, self.gap_open, self.gap_ext)
@@ -203,28 +216,36 @@ class JaxSwBackend:
                     score[i] = s[k]
                     end_ref[i] = er[k]
                     end_read[i] = eq[k]
-            # begin pass
+            # begin pass (reversed prefixes gathered in one shot)
             need = [i for i in idxs
                     if score[i] >= minimal[i] and end_ref[i] >= 0]
+            na = np.asarray(need, np.int64)
+
+            def gather_rev(data, off, ends, B, L):
+                n_ = len(off)
+                pos = np.arange(L, dtype=np.int64)[None, :]
+                idx = off[:, None] + ends[:, None] - pos
+                valid = pos <= ends[:, None]
+                idx = np.clip(idx, 0, len(data) - 1)
+                M = data[idx].astype(np.int32)
+                M[~valid] = 0
+                out = np.zeros((B, L), np.int32)
+                out[:n_] = M
+                lo = np.ones(B, np.int32)
+                lo[:n_] = ends + 1
+                return out, lo
+
             for b0 in range(0, len(need), self.BLOCK):
                 bneed = need[b0:b0 + self.BLOCK]
+                ba = na[b0:b0 + self.BLOCK]
                 B2 = self.BLOCK if len(need) > self.BLOCK else \
                     self._min_block(len(bneed))
-                Q2 = np.zeros((B2, lq), np.int32)
-                R2 = np.zeros((B2, lr), np.int32)
-                ql2 = np.ones(B2, np.int32)
-                rl2 = np.ones(B2, np.int32)
+                Q2, ql2 = gather_rev(q_data, q_off[ba],
+                                     end_read[ba].astype(np.int64), B2, lq)
+                R2, rl2 = gather_rev(r_data, r_off[ba],
+                                     end_ref[ba].astype(np.int64), B2, lr)
                 ts = np.zeros(B2, np.int32)
-                for k2, i in enumerate(bneed):
-                    q = q_data[q_off[i]:q_off[i] + q_len[i]].astype(np.int32)
-                    r = r_data[r_off[i]:r_off[i] + r_len[i]].astype(np.int32)
-                    rq = q[end_read[i]::-1]
-                    rr = r[end_ref[i]::-1]
-                    Q2[k2, :len(rq)] = rq
-                    R2[k2, :len(rr)] = rr
-                    ql2[k2] = len(rq)
-                    rl2[k2] = len(rr)
-                    ts[k2] = score[i]
+                ts[:len(bneed)] = score[ba]
                 s2, ec2, er2 = sw_score_batch(
                     jnp.asarray(Q2), jnp.asarray(ql2), jnp.asarray(R2),
                     jnp.asarray(rl2), self.mat, self.gap_open, self.gap_ext,

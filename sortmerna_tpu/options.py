@@ -84,6 +84,8 @@ class RunOptions:
     max_read_len: int = 30000
     is_pid: bool = False
     cmdline: str = ""
+    findex: int = 2      # --index: 0 don't build, 1 index only, 2 auto
+    is_cmd: bool = False  # --cmd interactive session
 
     # passes / skiplengths (one triple per index; 0 = use defaults)
     skiplengths: List[List[int]] = field(default_factory=list)

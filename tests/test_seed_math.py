@@ -159,3 +159,50 @@ def test_probe_enumeration_equals_bruteforce():
             assert got.get(i, set()) == expect, f"window {i}"
     finally:
         os.unlink(path)
+
+
+def test_native_probe_matches_numpy():
+    """C++ probe kernel == numpy probe backend on a random reference."""
+    from sortmerna_tpu.index import builder as B
+    from sortmerna_tpu.ops.seed_probe import SeedSearcher
+    from sortmerna_tpu import native
+    import tempfile, os
+    if not native.have_native():
+        import pytest
+        pytest.skip("no compiler")
+
+    rng = np.random.default_rng(123)
+    core = rng.integers(0, 4, size=800)
+    seq = np.concatenate([core, core[:300], rng.integers(0, 4, size=500)])
+    chars = "ACGT"
+    fasta = ">r1\n" + "".join(chars[c] for c in seq) + "\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta", delete=False) as f:
+        f.write(fasta)
+        path = f.name
+    try:
+        idx = B.build_index(path)
+        part = idx.parts[0]
+        nw = 500
+        w1l, w2l = [], []
+        for i in range(nw):
+            if i % 2 == 0:
+                j = rng.integers(0, len(seq) - 18)
+                win = list(seq[j:j + 18])
+                for _ in range(rng.integers(0, 3)):
+                    win[rng.integers(0, 18)] = rng.integers(0, 4)
+            else:
+                win = list(rng.integers(0, 4, size=18))
+            w1l.append(_pack(win[:9]))
+            w2l.append(_pack(win[9:]))
+        w1 = np.array(w1l, dtype=np.int64)
+        w2 = np.array(w2l, dtype=np.int64)
+        for fs in (False, True):
+            nat = SeedSearcher(part, full_search=fs, use_native=True)
+            ref = SeedSearcher(part, full_search=fs, use_native=False)
+            assert nat._lib is not None
+            nw_, ni_ = nat.search_windows(w1, w2)
+            rw_, ri_ = ref.search_windows(w1, w2)
+            assert np.array_equal(nw_, rw_), fs
+            assert np.array_equal(ni_, ri_), fs
+    finally:
+        os.unlink(path)
