@@ -62,6 +62,8 @@ class _TravState:
     pass_n: int = 0
     search: bool = True
     hits: List[Tuple[int, int]] = field(default_factory=list)
+    np_hits: List[Tuple[np.ndarray, np.ndarray]] = field(
+        default_factory=list)
     searched: Optional[np.ndarray] = None
 
 
@@ -118,66 +120,103 @@ def traverse_strand(
     native_engine=None,
 ) -> None:
     """One strand of one index part for a batch of reads
-    (traverse, paralleltraversal.cpp:81-297)."""
+    (traverse, paralleltraversal.cpp:81-297).
+
+    Vectorized over reads: window enumeration, packing and hit
+    attribution happen as bulk array ops over a concatenated per-strand
+    buffer; the per-read pass scheduling stays scalar (cheap)."""
     lnwin = ctx.lnwin
     trav: Dict[int, _TravState] = {}
-    p9cache: Dict[int, np.ndarray] = {}
+
+    # concatenated 03 sequences + packed 9-mers at every position
+    n_all = len(reads)
+    offs = np.zeros(n_all + 1, dtype=np.int64)
+    lens = np.zeros(n_all, dtype=np.int64)
+    for i in range(n_all):
+        lens[i] = len(reads[i])
+        offs[i + 1] = offs[i] + lens[i]
+    concat = np.concatenate(
+        [reads[i].strand03(forward) for i in range(n_all)]) \
+        if n_all else np.zeros(0, np.uint8)
+    p9all = pack9_all(concat)      # invalid at read boundaries; only
+    #                                in-read window starts are indexed
+    searched = np.zeros(offs[-1], dtype=bool)
 
     for i in ordinals:
         states[i].last_index = ctx.index_num
         states[i].last_part = ctx.part_num
-        trav[i] = _TravState(
-            win_shift=skiplengths[0],
-            searched=np.zeros(len(reads[i]), dtype=bool))
+        trav[i] = _TravState(win_shift=skiplengths[0])
 
     live = [i for i in ordinals]
     while live:
-        # ---- collect this pass's unsearched windows over all live reads
-        probe_read: List[int] = []
-        probe_pos: List[int] = []
-        for i in live:
-            t = trav[i]
-            L = len(reads[i])
-            numwin = (L - lnwin + t.win_shift) // t.win_shift
-            win_pos = 0
-            for w in range(numwin):
-                if not t.searched[win_pos]:
-                    t.searched[win_pos] = True
-                    probe_read.append(i)
-                    probe_pos.append(win_pos)
-                if w != numwin - 1:
-                    win_pos += t.win_shift
+        # ---- collect this pass's unsearched windows (bulk)
+        la = np.asarray(live, dtype=np.int64)
+        shifts = np.asarray([trav[i].win_shift for i in live],
+                            dtype=np.int64)
+        numwin = (lens[la] - lnwin + shifts) // shifts
+        total = int(numwin.sum())
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(numwin) - numwin, numwin))
+        rd = np.repeat(la, numwin)
+        pos = within * np.repeat(shifts, numwin)
+        gidx = offs[rd] + pos
+        fresh = ~searched[gidx]
+        searched[gidx] = True
+        probe_read = rd[fresh]
+        probe_pos = pos[fresh]
+        gsel = gidx[fresh]
 
-        if probe_read:
-            w1 = np.empty(len(probe_read), dtype=np.int64)
-            w2 = np.empty(len(probe_read), dtype=np.int64)
-            for n, (i, pos) in enumerate(zip(probe_read, probe_pos)):
-                p9 = p9cache.get(i)
-                if p9 is None:
-                    p9 = pack9_all(reads[i].strand03(forward))
-                    p9cache[i] = p9
-                w1[n] = p9[pos]
-                w2[n] = p9[pos + PARTIAL_WIN]
+        if len(probe_read):
+            w1 = p9all[gsel]
+            w2 = p9all[gsel + PARTIAL_WIN]
             hw, hid = searcher.search_windows(w1, w2)
-            # attribute hits to reads/windows; one hit_seeds increment per
-            # window with >=1 id (paralleltraversal.cpp:242-249)
+            # attribute hits; one hit_seeds increment per window with
+            # >=1 id (paralleltraversal.cpp:242-249)
             if len(hw):
-                prev_w = -1
-                for w, kid in zip(hw.tolist(), hid.tolist()):
-                    i = probe_read[w]
-                    pos = probe_pos[w]
-                    trav[i].hits.append((kid, pos))
-                    if w != prev_w:
-                        states[i].hit_seeds += 1
-                        prev_w = w
+                hit_read = probe_read[hw]
+                hit_pos = probe_pos[hw]
+                # distinct windows per read
+                uniq_w = np.unique(hw)
+                seeds_per_read = np.bincount(
+                    probe_read[uniq_w], minlength=n_all)
+                for i in np.flatnonzero(seeds_per_read):
+                    states[i].hit_seeds += int(seeds_per_read[i])
+                # group (kid, win) pairs per read; hw is nondecreasing so
+                # hits are read-contiguous
+                change = np.ones(len(hit_read), dtype=bool)
+                change[1:] = hit_read[1:] != hit_read[:-1]
+                starts = np.flatnonzero(change)
+                bounds = np.append(starts, len(hit_read))
+                for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                    i = int(hit_read[s0])
+                    trav[i].np_hits.append(
+                        (hid[s0:s1], hit_pos[s0:s1]))
 
         # ---- LIS/SW stage for reads whose seed count reaches threshold
         if native_engine is not None:
-            items = [(i, trav[i].hits) for i in live
-                     if states[i].hit_seeds >= opts.num_seeds]
-            flags = native_engine.run_pass(items, states, backend,
-                                           readstats)
+            items = []
+            for i in live:
+                if states[i].hit_seeds >= opts.num_seeds:
+                    t = trav[i]
+                    if len(t.np_hits) == 1:
+                        kid_arr, win_arr = t.np_hits[0]
+                    else:
+                        kid_arr = np.concatenate(
+                            [h[0] for h in t.np_hits]) if t.np_hits \
+                            else np.zeros(0, np.int64)
+                        win_arr = np.concatenate(
+                            [h[1] for h in t.np_hits]) if t.np_hits \
+                            else np.zeros(0, np.int64)
+                        t.np_hits = [(kid_arr, win_arr)]
+                    items.append((i, (kid_arr, win_arr)))
+            flags = native_engine.run_pass_arrays(items, states, backend,
+                                                 readstats)
         else:
+            for i in live:
+                t = trav[i]
+                for kid_arr, win_arr in t.np_hits:
+                    t.hits.extend(zip(kid_arr.tolist(), win_arr.tolist()))
+                t.np_hits = []
             gens = []
             for i in live:
                 if states[i].hit_seeds >= opts.num_seeds:

@@ -72,27 +72,33 @@ class NativeCandidateEngine:
     def run_pass(self, items: Sequence[Tuple[int, list]],
                  states: List[ReadState], sw_backend,
                  readstats: Readstats) -> Dict[int, bool]:
-        """Run compute_lis_alignment for the given (ordinal, hits) items.
-
-        hits: list of (kid, win).  Returns {ordinal: search_flag} and
-        applies all alignment actions + stat deltas.
-        """
-        lib = self.lib
-        base_aligned = lib.cand_stat_num_aligned(self.h)
-
+        """compute_lis_alignment for (ordinal, [(kid, win), ...]) items."""
+        conv = []
         for ord_, hits in items:
-            st = states[ord_]
             kids = np.fromiter((h[0] for h in hits), np.int64,
                                count=len(hits))
             wins = np.fromiter((h[1] for h in hits), np.int64,
                                count=len(hits))
+            conv.append((ord_, (kids, wins)))
+        return self.run_pass_arrays(conv, states, sw_backend, readstats)
+
+    def run_pass_arrays(self, items, states: List[ReadState], sw_backend,
+                        readstats: Readstats) -> Dict[int, bool]:
+        """Array-form items: (ordinal, (kid_array, win_array))."""
+        lib = self.lib
+        base_aligned = lib.cand_stat_num_aligned(self.h)
+
+        for ord_, (kids, wins) in items:
+            st = states[ord_]
+            kids = np.ascontiguousarray(kids, np.int64)
+            wins = np.ascontiguousarray(wins, np.int64)
             scores = np.asarray([a.score1 for a in st.alignments],
                                 np.int32)
             idxn = np.asarray([a.index_num for a in st.alignments],
                               np.int32)
             lib.cand_start(
                 self.h, ord_, kids.ctypes.data, wins.ctypes.data,
-                len(hits), st.best, st.max_sw_count, int(st.is_hit),
+                len(kids), st.best, st.max_sw_count, int(st.is_hit),
                 len(scores), scores.ctypes.data, idxn.ctypes.data,
                 st.min_index, st.max_index)
 

@@ -108,6 +108,54 @@ def pad_batch(seqs, lens, width, dtype=np.int32):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("lq", "lr", "gap_open",
+                                             "gap_ext"))
+def sw_full_resident(reads_dev, refs_dev, q_off, q_len, r_off, r_len,
+                     minimal, mat, lq: int, lr: int,
+                     gap_open: int, gap_ext: int):
+    """Fused device step over HBM-resident sequence buffers.
+
+    Gathers the (read-window, ref-window) pairs on device, runs the
+    forward scoring pass AND the reverse begin pass (terminate-at-score
+    semantics), returning only scalars per pair -- the only host traffic
+    is the offset arrays in and 5 int vectors out.  This keeps the
+    reference data resident in HBM exactly as the reference keeps its
+    index in RAM per part (processor.cpp:224-230).
+    """
+    B = q_off.shape[0]
+    posq = jnp.arange(lq, dtype=jnp.int32)[None, :]
+    posr = jnp.arange(lr, dtype=jnp.int32)[None, :]
+
+    nq = reads_dev.shape[0]
+    nr = refs_dev.shape[0]
+    qidx = jnp.minimum(q_off[:, None] + posq, nq - 1)
+    ridx = jnp.minimum(r_off[:, None] + posr, nr - 1)
+    Q = jnp.where(posq < q_len[:, None], reads_dev[qidx].astype(jnp.int32),
+                  0)
+    R = jnp.where(posr < r_len[:, None], refs_dev[ridx].astype(jnp.int32),
+                  0)
+
+    score, end_ref, end_read = sw_score_batch(
+        Q, q_len, R, r_len, mat, gap_open, gap_ext)
+
+    # reverse (begin) pass on reversed prefixes, all pairs
+    qidx2 = jnp.clip(q_off[:, None] + end_read[:, None] - posq, 0, nq - 1)
+    ridx2 = jnp.clip(r_off[:, None] + end_ref[:, None] - posr, 0, nr - 1)
+    Q2 = jnp.where(posq <= end_read[:, None],
+                   reads_dev[qidx2].astype(jnp.int32), 0)
+    R2 = jnp.where(posr <= end_ref[:, None],
+                   refs_dev[ridx2].astype(jnp.int32), 0)
+    ql2 = jnp.maximum(end_read + 1, 1)
+    rl2 = jnp.maximum(end_ref + 1, 1)
+    s2, ec2, er2 = sw_score_batch(
+        Q2, ql2, R2, rl2, mat, gap_open, gap_ext,
+        terminate=True, tscore=score)
+    ok = (score >= minimal) & (end_ref >= 0)
+    beg_ref = jnp.where(ok, end_ref - ec2, -1)
+    beg_read = jnp.where(ok, end_read - er2, -1)
+    return score, beg_ref, end_ref, beg_read, end_read
+
+
 class JaxSwBackend:
     """Device backend for the engine's SW waves.
 
@@ -160,12 +208,87 @@ class JaxSwBackend:
                 return b
         return cls.BLOCK
 
+    # ladder for device-resident buffer sizes (recompile per rung)
+    _BUF_LADDER = tuple(1 << s for s in range(16, 33))
+
+    @classmethod
+    def _buf_bucket(cls, n: int) -> int:
+        for b in cls._BUF_LADDER:
+            if n <= b:
+                return b
+        return cls._BUF_LADDER[-1]
+
+    def _resident(self, data: np.ndarray, cache_slot: str):
+        """device_put `data` (u8) padded to a size rung, cached by id."""
+        key = (id(data), len(data))
+        cached = getattr(self, cache_slot, None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        size = self._buf_bucket(max(len(data), 1))
+        padded = np.zeros(size, np.uint8)
+        padded[:len(data)] = data
+        dev = jax.device_put(padded)
+        setattr(self, cache_slot, (key, dev))
+        return dev
+
     def batch_coords(self, q_data: np.ndarray, q_off, q_len,
                      r_data: np.ndarray, r_off, r_len, minimal):
-        """Coordinate-based scoring for the native candidate engine.
+        """Coordinate-based scoring with device-resident buffers.
 
-        Returns (score, rb, re, qb, qe) int32 arrays with window-relative
-        begin/end coordinates (begin = -1 when score < minimal)."""
+        The read/ref concatenated buffers are uploaded once (cached by
+        object identity); per call only offsets travel to the device and
+        five int vectors return.  Returns (score, rb, re, qb, qe)."""
+        reads_dev = self._resident(np.asarray(q_data, np.uint8),
+                                   "_reads_cache")
+        refs_dev = self._resident(np.asarray(r_data, np.uint8),
+                                  "_refs_cache")
+        q_off = np.asarray(q_off, np.int32)
+        q_len = np.asarray(q_len, np.int32)
+        r_off = np.asarray(r_off, np.int32)
+        r_len = np.asarray(r_len, np.int32)
+        minimal = np.asarray(minimal, np.int32)
+        n = len(q_off)
+        score = np.zeros(n, np.int32)
+        end_ref = np.full(n, -1, np.int32)
+        end_read = np.zeros(n, np.int32)
+        beg_ref = np.full(n, -1, np.int32)
+        beg_read = np.full(n, -1, np.int32)
+        groups = {}
+        for i in range(n):
+            key = (self._len_bucket(int(q_len[i])),
+                   self._len_bucket(int(r_len[i])))
+            groups.setdefault(key, []).append(i)
+        for (lq, lr), idxs in groups.items():
+            ia = np.asarray(idxs, np.int64)
+            for b0 in range(0, len(idxs), self.BLOCK):
+                ba = ia[b0:b0 + self.BLOCK]
+                B = self.BLOCK if len(idxs) > self.BLOCK else \
+                    self._min_block(len(ba))
+                qo = np.zeros(B, np.int32)
+                qlen_ = np.ones(B, np.int32)
+                ro = np.zeros(B, np.int32)
+                rlen_ = np.ones(B, np.int32)
+                mn = np.full(B, 1 << 30, np.int32)
+                qo[:len(ba)] = q_off[ba]
+                qlen_[:len(ba)] = q_len[ba]
+                ro[:len(ba)] = r_off[ba]
+                rlen_[:len(ba)] = r_len[ba]
+                mn[:len(ba)] = minimal[ba]
+                s, br, er, bq, eq = sw_full_resident(
+                    reads_dev, refs_dev, jnp.asarray(qo), jnp.asarray(qlen_),
+                    jnp.asarray(ro), jnp.asarray(rlen_), jnp.asarray(mn),
+                    self.mat, lq, lr, self.gap_open, self.gap_ext)
+                s = np.asarray(s)[:len(ba)]
+                score[ba] = s
+                beg_ref[ba] = np.asarray(br)[:len(ba)]
+                end_ref[ba] = np.asarray(er)[:len(ba)]
+                beg_read[ba] = np.asarray(bq)[:len(ba)]
+                end_read[ba] = np.asarray(eq)[:len(ba)]
+        return score, beg_ref, end_ref, beg_read, end_read
+
+    def batch_coords_hostgather(self, q_data: np.ndarray, q_off, q_len,
+                                r_data: np.ndarray, r_off, r_len, minimal):
+        """Host-gather variant (kept as the fallback/reference path)."""
         n = len(q_off)
         score = np.zeros(n, np.int32)
         end_ref = np.full(n, -1, np.int32)
