@@ -108,52 +108,117 @@ def pad_batch(seqs, lens, width, dtype=np.int32):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("lq", "lr", "gap_open",
-                                             "gap_ext"))
-def sw_full_resident(reads_dev, refs_dev, q_off, q_len, r_off, r_len,
-                     minimal, mat, lq: int, lr: int,
-                     gap_open: int, gap_ext: int):
-    """Fused device step over HBM-resident sequence buffers.
+def _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
+             terminate, tscore):
+    """Shared column-scan DP over padded tiles with explicit validity
+    masks (int32 lanes, associative-scan F recurrence; see
+    sw_score_batch docstring for the semantics)."""
+    B, Lq = Q.shape
+    Lr = R.shape[1]
+    rows = jnp.arange(Lq, dtype=jnp.int32)
 
-    Gathers the (read-window, ref-window) pairs on device, runs the
-    forward scoring pass AND the reverse begin pass (terminate-at-score
-    semantics), returning only scalars per pair -- the only host traffic
-    is the offset arrays in and 5 int vectors out.  This keeps the
-    reference data resident in HBM exactly as the reference keeps its
-    index in RAM per part (processor.cpp:224-230).
+    prof = mat.T[Q]                                  # [B, Lq, 5]
+    prof = jnp.where(row_valid[:, :, None], prof, NEG)
+
+    def step(carry, j):
+        Hprev, E, best, end_ref, end_read, done = carry
+        rj = R[:, j]
+        sub = jnp.take_along_axis(
+            prof, rj[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        sub = jnp.where(col_valid[:, j][:, None], sub, NEG)
+        diag = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), Hprev[:, :-1]], axis=1) + sub
+        E = jnp.maximum(E - gap_ext, Hprev - gap_open)
+        Hpre = jnp.maximum(0, jnp.maximum(diag, E))
+        g = Hpre - gap_open + rows[None, :] * gap_ext
+        gmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
+        F = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), gmax[:, :-1]], axis=1) \
+            - (rows[None, :] - 1) * gap_ext
+        H = jnp.maximum(Hpre, F)
+        H = jnp.where(row_valid, H, 0)
+
+        colmax = H.max(axis=1)
+        valid = col_valid[:, j] & ~done
+        improved = (colmax > best) & valid
+        row = jnp.argmax(H == colmax[:, None], axis=1).astype(jnp.int32)
+        best = jnp.where(improved, colmax, best)
+        end_ref = jnp.where(improved, j, end_ref)
+        end_read = jnp.where(improved, row, end_read)
+        if terminate:
+            done = done | ((colmax == tscore) & valid)
+        return (H, E, best, end_ref, end_read, done), None
+
+    # init end_read = last valid row (ssw.c:171 readLen-1 semantics)
+    last_valid = (Lq - 1
+                  - jnp.argmax(row_valid[:, ::-1], axis=1).astype(jnp.int32))
+    init = (
+        jnp.zeros((B, Lq), jnp.int32),
+        jnp.full((B, Lq), NEG, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        last_valid,
+        jnp.zeros((B,), bool),
+    )
+    (H, E, best, end_ref, end_read, done), _ = jax.lax.scan(
+        step, init, jnp.arange(Lr, dtype=jnp.int32))
+    return best, end_ref, end_read
+
+
+@functools.partial(jax.jit, static_argnames=("B", "lq", "lr", "gap_open",
+                                             "gap_ext"))
+def sw_fused_call(buf, mat, B: int, lq: int, lr: int,
+                  gap_open: int, gap_ext: int):
+    """One-upload / one-download fused SW step.
+
+    buf: uint8 [B, lq + lr + 12] -- per row: the read window, the ref
+    window, then (q_len, r_len, minimal) as little-endian int32 bytes.
+    Returns int32 [5, B]: score, beg_ref, end_ref, beg_read, end_read.
+
+    The begin pass uses FLIPPED padded tiles with per-pair start masks
+    instead of per-row dynamic shifts (TPU-hostile gathers): the reverse
+    word of ssw_align (ssw.c:900-918) occupies a contiguous run of the
+    flipped tile starting at L-1-end, so masking columns before the run
+    start reproduces the backward scan exactly, and the begin coordinate
+    is (L-1) - argcolumn.
     """
-    B = q_off.shape[0]
+    Q = buf[:, :lq].astype(jnp.int32)
+    R = buf[:, lq:lq + lr].astype(jnp.int32)
+    ints = buf[:, lq + lr:].astype(jnp.int32)
+
+    def i32(k):
+        b = ints[:, 4 * k:4 * k + 4]
+        return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+    q_len = i32(0)
+    r_len = i32(1)
+    minimal = i32(2)
+
     posq = jnp.arange(lq, dtype=jnp.int32)[None, :]
     posr = jnp.arange(lr, dtype=jnp.int32)[None, :]
 
-    nq = reads_dev.shape[0]
-    nr = refs_dev.shape[0]
-    qidx = jnp.minimum(q_off[:, None] + posq, nq - 1)
-    ridx = jnp.minimum(r_off[:, None] + posr, nr - 1)
-    Q = jnp.where(posq < q_len[:, None], reads_dev[qidx].astype(jnp.int32),
-                  0)
-    R = jnp.where(posr < r_len[:, None], refs_dev[ridx].astype(jnp.int32),
-                  0)
+    row_valid = posq < q_len[:, None]
+    col_valid = posr < r_len[:, None]
+    score, end_ref, end_read = _sw_scan(
+        Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
+        terminate=False, tscore=None)
+    # ssw init semantics: end_read defaults to qlen-1 when nothing scored
+    end_read = jnp.where(end_ref >= 0, end_read, q_len - 1)
 
-    score, end_ref, end_read = sw_score_batch(
-        Q, q_len, R, r_len, mat, gap_open, gap_ext)
-
-    # reverse (begin) pass on reversed prefixes, all pairs
-    qidx2 = jnp.clip(q_off[:, None] + end_read[:, None] - posq, 0, nq - 1)
-    ridx2 = jnp.clip(r_off[:, None] + end_ref[:, None] - posr, 0, nr - 1)
-    Q2 = jnp.where(posq <= end_read[:, None],
-                   reads_dev[qidx2].astype(jnp.int32), 0)
-    R2 = jnp.where(posr <= end_ref[:, None],
-                   refs_dev[ridx2].astype(jnp.int32), 0)
-    ql2 = jnp.maximum(end_read + 1, 1)
-    rl2 = jnp.maximum(end_ref + 1, 1)
-    s2, ec2, er2 = sw_score_batch(
-        Q2, ql2, R2, rl2, mat, gap_open, gap_ext,
+    # ---- begin pass on flipped tiles
+    Qf = Q[:, ::-1]
+    Rf = R[:, ::-1]
+    q_start = lq - 1 - end_read        # first valid flipped row
+    r_start = lr - 1 - end_ref
+    row_valid2 = posq >= q_start[:, None]
+    col_valid2 = posr >= r_start[:, None]
+    s2, jstar, istar = _sw_scan(
+        Qf, row_valid2, Rf, col_valid2, mat, gap_open, gap_ext,
         terminate=True, tscore=score)
     ok = (score >= minimal) & (end_ref >= 0)
-    beg_ref = jnp.where(ok, end_ref - ec2, -1)
-    beg_read = jnp.where(ok, end_read - er2, -1)
-    return score, beg_ref, end_ref, beg_read, end_read
+    beg_ref = jnp.where(ok, lr - 1 - jstar, -1)
+    beg_read = jnp.where(ok, lq - 1 - istar, -1)
+    return jnp.stack([score, beg_ref, end_ref, beg_read, end_read])
 
 
 class JaxSwBackend:
@@ -208,43 +273,15 @@ class JaxSwBackend:
                 return b
         return cls.BLOCK
 
-    # ladder for device-resident buffer sizes (recompile per rung)
-    _BUF_LADDER = tuple(1 << s for s in range(16, 33))
-
-    @classmethod
-    def _buf_bucket(cls, n: int) -> int:
-        for b in cls._BUF_LADDER:
-            if n <= b:
-                return b
-        return cls._BUF_LADDER[-1]
-
-    def _resident(self, data: np.ndarray, cache_slot: str):
-        """device_put `data` (u8) padded to a size rung, cached by id."""
-        key = (id(data), len(data))
-        cached = getattr(self, cache_slot, None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        size = self._buf_bucket(max(len(data), 1))
-        padded = np.zeros(size, np.uint8)
-        padded[:len(data)] = data
-        dev = jax.device_put(padded)
-        setattr(self, cache_slot, (key, dev))
-        return dev
-
     def batch_coords(self, q_data: np.ndarray, q_off, q_len,
                      r_data: np.ndarray, r_off, r_len, minimal):
-        """Coordinate-based scoring with device-resident buffers.
-
-        The read/ref concatenated buffers are uploaded once (cached by
-        object identity); per call only offsets travel to the device and
-        five int vectors return.  Returns (score, rb, re, qb, qe)."""
-        reads_dev = self._resident(np.asarray(q_data, np.uint8),
-                                   "_reads_cache")
-        refs_dev = self._resident(np.asarray(r_data, np.uint8),
-                                  "_refs_cache")
-        q_off = np.asarray(q_off, np.int32)
+        """Coordinate-based scoring via the fused one-upload /
+        one-download device call.  Returns (score, rb, re, qb, qe)."""
+        q_data = np.asarray(q_data, np.uint8)
+        r_data = np.asarray(r_data, np.uint8)
+        q_off = np.asarray(q_off, np.int64)
         q_len = np.asarray(q_len, np.int32)
-        r_off = np.asarray(r_off, np.int32)
+        r_off = np.asarray(r_off, np.int64)
         r_len = np.asarray(r_len, np.int32)
         minimal = np.asarray(minimal, np.int32)
         n = len(q_off)
@@ -253,6 +290,17 @@ class JaxSwBackend:
         end_read = np.zeros(n, np.int32)
         beg_ref = np.full(n, -1, np.int32)
         beg_read = np.full(n, -1, np.int32)
+
+        def gather_rows_u8(data, off, lens, B, L):
+            n_ = len(off)
+            pos = np.arange(L, dtype=np.int64)[None, :]
+            idx = np.minimum(off[:, None] + pos, len(data) - 1)
+            M = data[idx]
+            M[pos >= lens[:, None]] = 0
+            out = np.zeros((B, L), np.uint8)
+            out[:n_] = M
+            return out
+
         groups = {}
         for i in range(n):
             key = (self._len_bucket(int(q_len[i])),
@@ -264,26 +312,25 @@ class JaxSwBackend:
                 ba = ia[b0:b0 + self.BLOCK]
                 B = self.BLOCK if len(idxs) > self.BLOCK else \
                     self._min_block(len(ba))
-                qo = np.zeros(B, np.int32)
-                qlen_ = np.ones(B, np.int32)
-                ro = np.zeros(B, np.int32)
-                rlen_ = np.ones(B, np.int32)
-                mn = np.full(B, 1 << 30, np.int32)
-                qo[:len(ba)] = q_off[ba]
-                qlen_[:len(ba)] = q_len[ba]
-                ro[:len(ba)] = r_off[ba]
-                rlen_[:len(ba)] = r_len[ba]
-                mn[:len(ba)] = minimal[ba]
-                s, br, er, bq, eq = sw_full_resident(
-                    reads_dev, refs_dev, jnp.asarray(qo), jnp.asarray(qlen_),
-                    jnp.asarray(ro), jnp.asarray(rlen_), jnp.asarray(mn),
-                    self.mat, lq, lr, self.gap_open, self.gap_ext)
-                s = np.asarray(s)[:len(ba)]
-                score[ba] = s
-                beg_ref[ba] = np.asarray(br)[:len(ba)]
-                end_ref[ba] = np.asarray(er)[:len(ba)]
-                beg_read[ba] = np.asarray(bq)[:len(ba)]
-                end_read[ba] = np.asarray(eq)[:len(ba)]
+                buf = np.zeros((B, lq + lr + 12), np.uint8)
+                buf[:, :lq] = gather_rows_u8(
+                    q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
+                buf[:, lq:lq + lr] = gather_rows_u8(
+                    r_data, r_off[ba], r_len[ba].astype(np.int64), B, lr)
+                ints = np.ones((B, 3), np.int32)
+                ints[:, 2] = 1 << 30
+                ints[:len(ba), 0] = q_len[ba]
+                ints[:len(ba), 1] = r_len[ba]
+                ints[:len(ba), 2] = minimal[ba]
+                buf[:, lq + lr:] = ints.view(np.uint8).reshape(B, 12)
+                out = np.asarray(sw_fused_call(
+                    jnp.asarray(buf), self.mat, B, lq, lr,
+                    self.gap_open, self.gap_ext))
+                score[ba] = out[0, :len(ba)]
+                beg_ref[ba] = out[1, :len(ba)]
+                end_ref[ba] = out[2, :len(ba)]
+                beg_read[ba] = out[3, :len(ba)]
+                end_read[ba] = out[4, :len(ba)]
         return score, beg_ref, end_ref, beg_read, end_read
 
     def batch_coords_hostgather(self, q_data: np.ndarray, q_off, q_len,
