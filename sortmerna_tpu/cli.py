@@ -167,7 +167,13 @@ def _apply(opts: RunOptions, name: str, val: Optional[str], raw: dict):
     elif name == "R":
         opts.is_reverse = b
     elif name == "L":
-        opts.seed_win_len = int(val)
+        v = int(val)
+        if v != 18:
+            # the closed-form d<=1 probe tables are specialized to L=18
+            # (the reference default); other seed lengths are a TODO
+            raise CliError(
+                "-L: only the default seed length 18 is supported")
+        opts.seed_win_len = v
     elif name == "m":
         opts.max_file_size = float(val)
     elif name == "N":
