@@ -53,8 +53,12 @@ def save_index(built: BuiltIndex, idx_dir: str, key: str) -> None:
     with open(os.path.join(idx_dir, f"{key}.stats.json"), "w") as f:
         json.dump(meta, f)
     for i, p in enumerate(built.parts):
-        arrays = {name: getattr(p, name) for name in _PART_FIELDS}
-        np.savez(os.path.join(idx_dir, f"{key}.part{i}.npz"), **arrays)
+        pdir = os.path.join(idx_dir, f"{key}.part{i}")
+        os.makedirs(pdir, exist_ok=True)
+        # one .npy per array, mmap-loadable (np.load of .npz decompresses
+        # through zipfile and is ~50x slower for GB-scale indexes)
+        for name in _PART_FIELDS:
+            np.save(os.path.join(pdir, name + ".npy"), getattr(p, name))
 
 
 def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:
@@ -74,11 +78,15 @@ def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:
     )
     parts: List[IndexPart] = []
     for i in range(meta["num_parts"]):
-        p = os.path.join(idx_dir, f"{key}.part{i}.npz")
-        if not os.path.exists(p):
+        pdir = os.path.join(idx_dir, f"{key}.part{i}")
+        if not os.path.isdir(pdir):
             return None
-        z = np.load(p)
-        kw = {name: z[name] for name in _PART_FIELDS}
+        kw = {}
+        for name in _PART_FIELDS:
+            f = os.path.join(pdir, name + ".npy")
+            if not os.path.exists(f):
+                return None
+            kw[name] = np.load(f, mmap_mode="r")
         part = IndexPart(**kw)
         (part.start_part, part.seq_part_size, part.numseq_part,
          part.first_seq) = meta["parts_meta"][i]
