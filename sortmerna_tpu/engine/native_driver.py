@@ -102,22 +102,22 @@ class NativeCandidateEngine:
                 len(scores), scores.ctypes.data, idxn.ctypes.data,
                 st.min_index, st.max_index)
 
-        # SW waves
+        # SW waves (main + speculative jobs ride together)
         while True:
-            n_active = lib.cand_num_active(self.h)
-            if n_active == 0:
+            if lib.cand_num_active(self.h) == 0:
                 break
-            job_read = np.zeros(n_active, np.int32)
-            q_off = np.zeros(n_active, np.int64)
-            q_len = np.zeros(n_active, np.int32)
-            r_off = np.zeros(n_active, np.int64)
-            r_len = np.zeros(n_active, np.int32)
-            minimal = np.zeros(n_active, np.int64)
+            n_jobs = lib.cand_num_jobs(self.h)
+            job_read = np.zeros(n_jobs, np.int32)
+            q_off = np.zeros(n_jobs, np.int64)
+            q_len = np.zeros(n_jobs, np.int32)
+            r_off = np.zeros(n_jobs, np.int64)
+            r_len = np.zeros(n_jobs, np.int32)
+            minimal = np.zeros(n_jobs, np.int64)
             n = lib.cand_next_jobs(
                 self.h, job_read.ctypes.data, q_off.ctypes.data,
                 q_len.ctypes.data, r_off.ctypes.data, r_len.ctypes.data,
                 minimal.ctypes.data)
-            assert n == n_active
+            assert n == n_jobs
             res = sw_backend.batch_coords(
                 self.reads_data, q_off, q_len,
                 self.refs_data, r_off, r_len, minimal)

@@ -68,6 +68,8 @@ def _build() -> Optional[ctypes.CDLL]:
         [ctypes.c_void_p] * 5
     lib.cand_num_active.restype = ctypes.c_int32
     lib.cand_num_active.argtypes = [ctypes.c_void_p]
+    lib.cand_num_jobs.restype = ctypes.c_int32
+    lib.cand_num_jobs.argtypes = [ctypes.c_void_p]
     lib.cand_read_state.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                     ctypes.c_void_p]
     lib.cand_num_actions.restype = ctypes.c_int32

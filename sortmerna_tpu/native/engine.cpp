@@ -79,6 +79,22 @@ struct Action {
     std::vector<uint32_t> cigar;
 };
 
+// Speculative SW job for a future candidate's FIRST window: its geometry
+// depends only on the hit lists (is_aligned is always reset by the first
+// window iteration of a new candidate, alignment.cpp:244-245), so it can
+// be scored in the same device wave as the current job and consumed when
+// the FSM reaches that candidate.
+struct SpecJob {
+    size_t cand_k;
+    long aq, ar, head, tail, alen;
+    uint32_t ref;
+    size_t it_after;            // window-loop iterator state at the job
+    std::deque<std::pair<uint32_t, uint32_t>> match_set;
+    int64_t begin_ref, begin_read;
+    int32_t score = -1, rb = -1, re = -1, qb = -1, qe = -1;
+    bool filled = false;
+};
+
 struct FSM {
     int32_t ord = -1;
     // mutable read state
@@ -105,7 +121,10 @@ struct FSM {
     uint32_t cur_ref = 0;
     int phase = 0;   // 0: start candidate k, 1: window loop top,
                      // 2: awaiting SW result, 3: done
-    bool in_window_loop = false;
+    bool issued_in_candidate = false;  // an SW job was already issued for
+                                       // the current candidate
+    std::vector<SpecJob> spec;
+    size_t spec_from = 0;       // candidates < spec_from already specced
 };
 
 struct Engine {
@@ -122,6 +141,8 @@ struct Engine {
     int32_t n_reads;
     std::vector<FSM> fsms;
     std::vector<int32_t> active;      // indices into fsms with pending job
+    // wave emission bookkeeping: (read ordinal, spec index or -1=main)
+    std::vector<std::pair<int32_t, int32_t>> emission;
     std::vector<Action> actions;
     // readstats deltas
     int64_t d_num_aligned = 0;
@@ -197,6 +218,46 @@ static bool start_candidate(Engine* e, FSM& f) {
     }
 }
 
+// SW window geometry (alignment.cpp:283-357)
+static void window_geometry(long readlen, long reflen, long lcs_r,
+                            long lcs_q, long edges,
+                            long& ars, long& aqs, long& head, long& tail,
+                            long& alen) {
+    head = 0; tail = 0;
+    if (lcs_r < lcs_q) {
+        ars = 0;
+        aqs = lcs_q - lcs_r;
+        if (reflen < readlen) {
+            tail = 0;
+            if (aqs > readlen - reflen)
+                alen = reflen - (aqs - (readlen - reflen));
+            else
+                alen = reflen;
+        } else {
+            tail = reflen - ars - readlen;
+            if (tail > edges - 1) tail = edges;
+            alen = readlen + head + tail - aqs;
+        }
+    } else {
+        ars = lcs_r - lcs_q;
+        aqs = 0;
+        if (ars > edges - 1) head = edges;
+        if (ars + readlen > reflen) {
+            tail = 0;
+            alen = reflen - ars - head;
+        } else {
+            tail = reflen - ars - readlen;
+            if (tail > edges - 1) tail = edges;
+            alen = readlen + head + tail;
+        }
+    }
+}
+
+static long edges_of(const Opts& o, int readlen) {
+    return o.is_as_percent ? (long)((o.edges / 100.0) * readlen)
+                           : (long)o.edges;
+}
+
 // One iteration of the window loop up to either an SW job (returns 1,
 // geometry stored in FSM) or candidate exhausted (returns 0).
 static int window_loop(Engine* e, FSM& f) {
@@ -223,41 +284,9 @@ static int window_loop(Engine* e, FSM& f) {
             if (lis.size() >= (size_t)e->o.min_lis) {
                 long lcs_r = f.match_set[lis[0]].first;
                 long lcs_q = f.match_set[lis[0]].second;
-                long reflen = ref_len(e, (int)f.cur_ref);
-                long edges = e->o.is_as_percent
-                    ? (long)((e->o.edges / 100.0) * readlen)
-                    : (long)e->o.edges;
-                long head = 0, tail = 0, ars, aqs, alen;
-                if (lcs_r < lcs_q) {
-                    ars = 0;
-                    aqs = lcs_q - lcs_r;
-                    head = 0;
-                    if (reflen < readlen) {
-                        tail = 0;
-                        if (aqs > readlen - reflen)
-                            alen = reflen - (aqs - (readlen - reflen));
-                        else
-                            alen = reflen;
-                    } else {
-                        tail = reflen - ars - readlen;
-                        if (tail > edges - 1) tail = edges;
-                        alen = readlen + head + tail - aqs;
-                    }
-                } else {
-                    ars = lcs_r - lcs_q;
-                    aqs = 0;
-                    if (ars > edges - 1) head = edges;
-                    if (ars + readlen > reflen) {
-                        tail = 0;
-                        alen = reflen - ars - head;
-                    } else {
-                        tail = reflen - ars - readlen;
-                        if (tail > edges - 1) tail = edges;
-                        alen = readlen + head + tail;
-                    }
-                }
-                f.aq = aqs; f.ar = ars; f.head = head; f.tail = tail;
-                f.alen = alen;
+                window_geometry(readlen, ref_len(e, (int)f.cur_ref),
+                                lcs_r, lcs_q, edges_of(e->o, readlen),
+                                f.ar, f.aq, f.head, f.tail, f.alen);
                 return 1;   // job ready
             }
         }
@@ -276,15 +305,116 @@ static int window_loop(Engine* e, FSM& f) {
     }
 }
 
-// advance an FSM until it has a pending job or is done
+// Compute the FIRST window job of candidate j without mutating the FSM
+// (heuristic 1 cannot skip before the first job: the first iteration
+// always pushes, resetting is_aligned).  Returns false if the candidate
+// yields no job.
+static bool first_job_of_candidate(Engine* e, const FSM& f, size_t j,
+                                   SpecJob& out) {
+    if (j >= f.cands.size()) return false;
+    uint32_t max_ref = f.cands[j].first;
+    if (f.cands[j].second < (uint32_t)e->o.num_seeds) return false;
+    int readlen = read_len(e, f.ord);
+    std::vector<std::pair<uint32_t, uint32_t>> hits;
+    for (size_t t = 0; t < f.h_seq.size(); ++t)
+        if (f.h_seq[t] == max_ref)
+            hits.emplace_back(f.h_pos[t], f.h_win[t]);
+    if (hits.empty()) return false;
+    std::sort(hits.begin(), hits.end());
+    size_t it = 0;
+    std::deque<std::pair<uint32_t, uint32_t>> ms;
+    int64_t br = hits[0].first, bq = hits[0].second;
+    while (it < hits.size()) {
+        int64_t end_ref_max = br + readlen - bq - e->o.lnwin + 1;
+        while (it < hits.size()
+               && (int64_t)hits[it].first <= end_ref_max) {
+            ms.push_back(hits[it]);
+            ++it;
+        }
+        if (ms.size() >= (size_t)e->o.num_seeds) {
+            std::vector<uint32_t> lis;
+            find_lis(ms, lis);
+            if (lis.size() >= (size_t)e->o.min_lis) {
+                out.cand_k = j;
+                out.ref = max_ref;
+                window_geometry(readlen, ref_len(e, (int)max_ref),
+                                ms[lis[0]].first, ms[lis[0]].second,
+                                edges_of(e->o, readlen),
+                                out.ar, out.aq, out.head, out.tail,
+                                out.alen);
+                return true;
+            }
+        }
+        if (!ms.empty()) ms.pop_front();
+        if (ms.empty()) {
+            if (it < hits.size()) { br = hits[it].first; bq = hits[it].second; }
+            else break;
+        } else {
+            br = ms.front().first;
+            bq = ms.front().second;
+        }
+    }
+    return false;
+}
+
+constexpr size_t SPEC_AHEAD = 6;
+
+static void maybe_speculate(Engine* e, FSM& f) {
+    size_t ahead = 0;
+    for (const SpecJob& s : f.spec)
+        if (s.cand_k > f.k && !s.filled) ++ahead;
+    size_t j = f.spec_from > f.k + 1 ? f.spec_from : f.k + 1;
+    while (ahead < SPEC_AHEAD && j < f.cands.size()) {
+        SpecJob s;
+        if (f.cands[j].second < (uint32_t)e->o.num_seeds) {
+            f.spec_from = f.cands.size();
+            break;   // candidate loop would stop here
+        }
+        if (first_job_of_candidate(e, f, j, s)) {
+            f.spec.push_back(std::move(s));
+            ++ahead;
+        }
+        ++j;
+        f.spec_from = j;
+    }
+}
+
+static void post_result(Engine* e, FSM& f, int32_t score,
+                        int32_t rb, int32_t re, int32_t qb, int32_t qe);
+
+// advance an FSM until it has a pending job or is done; consumes cached
+// speculative results inline (no wave round-trip)
 static void advance(Engine* e, FSM& f) {
     for (;;) {
         if (f.phase == 0) {
             if (!start_candidate(e, f)) { f.phase = 3; return; }
+            f.issued_in_candidate = false;
             f.phase = 1;
         }
         if (f.phase == 1) {
-            if (window_loop(e, f)) { f.phase = 2; return; }
+            if (window_loop(e, f)) {
+                // first job of this candidate: try the spec cache
+                if (!f.issued_in_candidate) {
+                    bool consumed = false;
+                    for (SpecJob& s : f.spec) {
+                        if (s.cand_k == f.k && s.filled
+                            && s.aq == f.aq && s.ar == f.ar
+                            && s.head == f.head && s.tail == f.tail
+                            && s.alen == f.alen && s.ref == f.cur_ref) {
+                            f.issued_in_candidate = true;
+                            post_result(e, f, s.score, s.rb, s.re,
+                                        s.qb, s.qe);
+                            consumed = true;
+                            break;
+                        }
+                    }
+                    if (consumed) continue;
+                }
+                f.issued_in_candidate = true;
+                maybe_speculate(e, f);
+                f.phase = 2;
+                return;
+            }
             ++f.k;
             f.phase = 0;
         }
@@ -475,6 +605,21 @@ void cand_start(void* h, int32_t ord,
     if (f.phase == 2) e->active.push_back(ord);
 }
 
+// total jobs of the next wave (main + unfilled speculative); builds the
+// emission list consumed by cand_next_jobs / cand_post
+int32_t cand_num_jobs(void* h) {
+    Engine* e = (Engine*)h;
+    e->emission.clear();
+    for (int32_t ord : e->active) {
+        FSM& f = e->fsms[ord];
+        e->emission.emplace_back(ord, -1);
+        for (size_t s = 0; s < f.spec.size(); ++s)
+            if (!f.spec[s].filled && f.spec[s].cand_k > f.k)
+                e->emission.emplace_back(ord, (int32_t)s);
+    }
+    return (int32_t)e->emission.size();
+}
+
 // collect pending jobs; returns count (same order as future cand_post)
 int32_t cand_next_jobs(void* h, int32_t* job_read,
                        int64_t* q_off, int32_t* q_len,
@@ -482,13 +627,23 @@ int32_t cand_next_jobs(void* h, int32_t* job_read,
                        int64_t* minimal) {
     Engine* e = (Engine*)h;
     int32_t n = 0;
-    for (int32_t ord : e->active) {
-        FSM& f = e->fsms[ord];
-        job_read[n] = ord;
-        q_off[n] = e->reads_off[ord] + f.aq;
-        q_len[n] = (int32_t)(f.alen - f.head - f.tail);
-        r_off[n] = e->refs_off[f.cur_ref] + (f.ar - f.head);
-        r_len[n] = (int32_t)f.alen;
+    for (auto& em : e->emission) {
+        FSM& f = e->fsms[em.first];
+        long aq, ar, head, tail, alen;
+        uint32_t ref;
+        if (em.second < 0) {
+            aq = f.aq; ar = f.ar; head = f.head; tail = f.tail;
+            alen = f.alen; ref = f.cur_ref;
+        } else {
+            SpecJob& s = f.spec[em.second];
+            aq = s.aq; ar = s.ar; head = s.head; tail = s.tail;
+            alen = s.alen; ref = s.ref;
+        }
+        job_read[n] = em.first;
+        q_off[n] = e->reads_off[em.first] + aq;
+        q_len[n] = (int32_t)(alen - head - tail);
+        r_off[n] = e->refs_off[ref] + (ar - head);
+        r_len[n] = (int32_t)alen;
         minimal[n] = e->o.minimal_score;
         ++n;
     }
@@ -496,19 +651,33 @@ int32_t cand_next_jobs(void* h, int32_t* job_read,
 }
 
 // feed SW results (parallel to the last cand_next_jobs output); FSMs
-// advance to their next job or completion.
+// advance to their next job or completion.  Speculative fills are applied
+// before main results so a freshly-arrived wave can be chained through
+// without extra rounds.
 void cand_post(void* h, int32_t n, const int32_t* scores,
                const int32_t* rb, const int32_t* re,
                const int32_t* qb, const int32_t* qe) {
     Engine* e = (Engine*)h;
+    for (int32_t i = 0; i < n; ++i) {
+        auto& em = e->emission[i];
+        if (em.second >= 0) {
+            SpecJob& s = e->fsms[em.first].spec[em.second];
+            s.score = scores[i];
+            s.rb = rb[i]; s.re = re[i]; s.qb = qb[i]; s.qe = qe[i];
+            s.filled = true;
+        }
+    }
     std::vector<int32_t> prev;
     prev.swap(e->active);
     for (int32_t i = 0; i < n; ++i) {
-        FSM& f = e->fsms[prev[i]];
+        auto& em = e->emission[i];
+        if (em.second >= 0) continue;
+        FSM& f = e->fsms[em.first];
         post_result(e, f, scores[i], rb[i], re[i], qb[i], qe[i]);
         advance(e, f);
-        if (f.phase == 2) e->active.push_back(prev[i]);
+        if (f.phase == 2) e->active.push_back(em.first);
     }
+    e->emission.clear();
 }
 
 int32_t cand_num_active(void* h) {

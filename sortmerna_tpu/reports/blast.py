@@ -32,7 +32,10 @@ def calc_miss_gap_match(ref_seq, read_seq, aln: Alignment):
     (Read::calc_miss_gap_match, read.cpp:547-589).
 
     read_seq must be the 04-encoded read in the ALIGNED orientation.
+    M-runs are compared as array slices (the per-character walk of the
+    reference is O(len) python and dominates report generation).
     """
+    import numpy as np
     n_miss = n_gap = n_match = 0
     qb = aln.ref_begin1
     pb = aln.read_begin1
@@ -40,13 +43,13 @@ def calc_miss_gap_match(ref_seq, read_seq, aln: Alignment):
         op = c & 0xF
         ln = c >> 4
         if op == 0:
-            for _ in range(ln):
-                if ref_seq[qb] != read_seq[pb]:
-                    n_miss += 1
-                else:
-                    n_match += 1
-                qb += 1
-                pb += 1
+            d = int(np.count_nonzero(
+                np.asarray(ref_seq[qb:qb + ln])
+                != np.asarray(read_seq[pb:pb + ln])))
+            n_miss += d
+            n_match += ln - d
+            qb += ln
+            pb += ln
         elif op == 1:
             pb += ln
             n_gap += ln

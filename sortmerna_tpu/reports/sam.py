@@ -46,7 +46,8 @@ def sam_for_read(read: ReadSeq, alignments: List[Alignment],
         if end_mask > 0:
             cig += f"{end_mask}S"
         # SEQ in the aligned orientation (report_sam.cpp:116-120)
-        seq = "".join(_NT[v] for v in read.strand04(aln.strand))
+        from ..constants import NT_MAP
+        seq = NT_MAP[read.strand04(aln.strand)].tobytes().decode("ascii")
         if read.quality:
             qual = read.quality if aln.strand else read.quality[::-1]
         else:
