@@ -39,5 +39,11 @@ def test_golden_snapshot(tmp_path):
         assert got == exp, f"snapshot mismatch: {name}"
     log = (outd / "aligned.log").read_text()
     log = re.sub(r" Process pid = \d+", " Process pid = PID", log)
+    log = re.sub(r"    Reads file: .*set2_200\.fasta", "    Reads file: READS", log)
     log = "\n".join(log.splitlines()[:-2]) + "\n"
-    assert log == (GOLD / "aligned.log").read_text()
+    exp = (GOLD / "aligned.log").read_text()
+    if log != exp:
+        import difflib
+        d = "\n".join(difflib.unified_diff(
+            exp.splitlines(), log.splitlines(), lineterm=""))
+        raise AssertionError(f"log snapshot mismatch:\n{d}")
