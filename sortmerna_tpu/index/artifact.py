@@ -31,7 +31,7 @@ def index_key(fasta_path: str, interval: int, max_pos: int,
     h = hashlib.sha1()
     h.update(str(os.path.abspath(fasta_path)).encode())
     h.update(f"{st.st_size}:{st.st_mtime_ns}:{interval}:{max_pos}:"
-             f"{max_file_size_mb}:{seed_win_len}:v1".encode())
+             f"{max_file_size_mb}:{seed_win_len}:v2".encode())
     return h.hexdigest()[:16]
 
 

@@ -98,6 +98,13 @@ class IndexPart:
     # 19-mer membership (insertion-case probes)
     k19_keys: np.ndarray       # uint64[HK]
     k19_vals: np.ndarray       # uint32[HK] (id of the 18-mer prefix)
+    # bucket-scan tables (unique 19-mers per 9-mer half key)
+    f19_offsets: np.ndarray    # uint32[2^18+1]
+    f19_tails: np.ndarray      # uint32[n19] packed c9..c18 (20 bits)
+    f19_ids: np.ndarray        # uint32[n19]
+    r19_offsets: np.ndarray    # uint32[2^18+1]
+    r19_tails: np.ndarray      # uint32[n19] packed (c9..c1)<<2 | c0
+    r19_ids: np.ndarray        # uint32[n19]
     # part metadata (index_parts_stats, indexdb.hpp:108)
     start_part: int = 0        # byte offset of first sequence of the part
     seq_part_size: int = 0     # bytes of raw reference in the part
@@ -396,6 +403,35 @@ def finish_part(core: dict) -> IndexPart:
     # 19-mer membership hash: packed c0..c18 -> id of 18-mer c0..c17
     k19_keys, k19_vals = build_hash_u64(core["uk19"], core["uk19_ids"])
 
+    # ---- bucket-scan tables: unique 19-mers grouped per 9-mer half.
+    # The fast path scans a half-key's bucket applying the closed-form
+    # d<=1 acceptance to each 10-char tail (seed_math.accept_tail) --
+    # cheaper than the 146-probe enumeration whenever the bucket is small
+    # (avg bucket = n_19mers / 2^18).
+    uk19 = core["uk19"]
+    # F: sorted k19 is already grouped by keyf (top 18 bits)
+    f19_keys = (uk19 >> np.uint64(20)).astype(np.int64)
+    f19_offsets = np.searchsorted(
+        f19_keys, np.arange(KMER9_SPACE + 1, dtype=np.int64)).astype(
+            np.uint32)
+    f19_tails = (uk19 & np.uint64((1 << 20) - 1)).astype(np.uint32)
+    f19_ids = core["uk19_ids"]
+    # R: key = c10..c18 (low 18 bits); tail word = (c9..c1 packed MSB
+    # first) << 2 | c0
+    keyr_all = (uk19 & np.uint64((1 << 18) - 1)).astype(np.int64)
+    c0 = (uk19 >> np.uint64(36)).astype(np.uint32)
+    mid9 = ((uk19 >> np.uint64(18)) & np.uint64((1 << 18) - 1)).astype(
+        np.int64)  # c1..c9 packed with c1 MSB
+    from ..ops.seed_probe import rev9
+    w9r = rev9(mid9).astype(np.uint32)           # c9..c1 packed MSB first
+    r19_tails_all = (w9r << np.uint32(2)) | c0
+    order_r = np.argsort(keyr_all, kind="stable")
+    r19_offsets = np.searchsorted(
+        keyr_all[order_r], np.arange(KMER9_SPACE + 1, dtype=np.int64)
+    ).astype(np.uint32)
+    r19_tails = r19_tails_all[order_r]
+    r19_ids = core["uk19_ids"][order_r]
+
     return IndexPart(
         kmers18=kmers18,
         pos_offsets=core["pos_offsets"],
@@ -417,6 +453,12 @@ def finish_part(core: dict) -> IndexPart:
         r_pref_count=r_pref_vals[:, 1].copy(),
         k19_keys=k19_keys,
         k19_vals=k19_vals,
+        f19_offsets=f19_offsets,
+        f19_tails=f19_tails,
+        f19_ids=f19_ids,
+        r19_offsets=r19_offsets,
+        r19_tails=r19_tails,
+        r19_ids=r19_ids,
     )
 
 

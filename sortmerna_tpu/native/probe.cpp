@@ -66,11 +66,38 @@ struct Tables {
     const uint64_t* k19_k; const uint32_t* k19_v; int64_t k19_n;
     const uint32_t* r_ids;
     const uint32_t* counts9;
+    // bucket-scan tables (unique 19-mers per half key)
+    const uint32_t* f19_off; const uint32_t* f19_tails;
+    const uint32_t* f19_ids;
+    const uint32_t* r19_off; const uint32_t* r19_tails;
+    const uint32_t* r19_ids;
 };
 
 static inline void add_id(std::vector<int64_t>& ids, int64_t v) {
     ids.push_back(v);
 }
+
+constexpr uint32_t MASK18 = (1u << 18) - 1;
+
+// Closed-form d<=1 tail acceptance (ops/seed_math.py accept_tail):
+// w10: packed 10-char tail (20 bits, first char most significant);
+// p: packed 9-char pattern.  Returns 1 = hit, 2 = zero(+hit).
+static inline int accept_tail_c(uint32_t w10, uint32_t p) {
+    uint32_t w9 = (w10 >> 2) & MASK18;
+    uint32_t x = w9 ^ p;
+    if (x == 0) return 2;
+    int nb = 32 - __builtin_clz(x);
+    int L = 8 - ((nb - 1) >> 1);
+    uint32_t mask = (1u << (2 * (8 - L))) - 1;
+    if ((x & mask) == 0) return 1;                              // sub
+    if ((((w10 >> 4) ^ p) & mask) == 0) return 1;               // del
+    uint32_t mask_ins = (1u << (2 * (9 - L))) - 1;
+    if (((w10 ^ p) & mask_ins) == 0) return 1;                  // ins
+    return 0;
+}
+
+// threshold above which a bucket falls back to probe enumeration
+constexpr uint32_t SCAN_MAX = 1024;
 
 }  // namespace
 
@@ -88,13 +115,18 @@ int64_t probe_windows(
     int64_t rp_n,
     const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
     const uint32_t* r_ids, const uint32_t* counts9,
+    const uint32_t* f19_off, const uint32_t* f19_tails,
+    const uint32_t* f19_ids,
+    const uint32_t* r19_off, const uint32_t* r19_tails,
+    const uint32_t* r19_ids,
     const int64_t* w1a, const int64_t* w2a, int64_t nw,
     int32_t minoccur, int32_t full_search,
     int64_t* out_win, int64_t* out_id, int64_t cap) {
 
     Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
              rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
-             k19_k, k19_v, k19_n, r_ids, counts9};
+             k19_k, k19_v, k19_n, r_ids, counts9,
+             f19_off, f19_tails, f19_ids, r19_off, r19_tails, r19_ids};
     int64_t n_out = 0;
     int64_t needed = 0;
     std::vector<int64_t> ids;
@@ -106,117 +138,146 @@ int64_t probe_windows(
         bool gate_f = t.counts9[w1] > (uint32_t)minoccur;
         bool gate_r = t.counts9[w2] > (uint32_t)minoccur;
         ids.clear();
-
-        // ---- 1a zero: exact 18-mer
         int64_t single = -1;
-        if (gate_f && !full_search) {
-            int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
-            if (s >= 0) single = (int64_t)t.fx_v[s];
-        }
-        if (single < 0) {
-            if (gate_f) {
-                // sub probes: original + 36 single-char swaps
-                {
-                    int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
-                    if (s >= 0) add_id(ids, t.fx_v[s]);
+
+        // ---------------- subsearch 1a (exact w1 half)
+        if (gate_f) {
+            uint32_t b0 = t.f19_off[w1], b1 = t.f19_off[w1 + 1];
+            if (b1 - b0 <= SCAN_MAX) {
+                // bucket scan with the closed-form acceptance
+                for (uint32_t e = b0; e < b1; ++e) {
+                    int r = accept_tail_c(t.f19_tails[e], (uint32_t)w2);
+                    if (r == 2 && !full_search) {
+                        single = (int64_t)t.f19_ids[e];
+                        break;
+                    }
+                    if (r) add_id(ids, t.f19_ids[e]);
                 }
-                for (int i = 0; i < 9; ++i) {
-                    int shift = 2 * (8 - i);
-                    uint64_t cleared = w2 & ~(3ull << shift);
-                    for (uint64_t c = 0; c < 4; ++c) {
-                        uint64_t v = cleared | (c << shift);
-                        if (v == w2) continue;
+            } else {
+                // probe enumeration (hot bucket)
+                if (!full_search) {
+                    int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
+                    if (s >= 0) single = (int64_t)t.fx_v[s];
+                }
+                if (single < 0) {
+                    {
                         int64_t s = find_slot(t.fx_k, t.fx_n,
-                                              (w1 << 18) | v);
+                                              (w1 << 18) | w2);
                         if (s >= 0) add_id(ids, t.fx_v[s]);
                     }
-                }
-                // del probes: 9 x 17-char prefixes -> contiguous id range
-                for (int k = 0; k < 9; ++k) {
-                    uint64_t hi = w2 >> (2 * (9 - k));
-                    uint64_t lo = w2 & ((1ull << (2 * (8 - k))) - 1);
-                    uint64_t d8 = (hi << (2 * (8 - k))) | lo;
-                    int64_t s = find_slot(t.fp_k, t.fp_n, (w1 << 16) | d8);
-                    if (s >= 0) {
-                        uint32_t st = t.fp_s[s], c = t.fp_c[s];
-                        for (uint32_t j = 0; j < c; ++j)
-                            add_id(ids, st + j);
-                    }
-                }
-                // ins probes: 36 x 19-mer membership
-                uint64_t p8 = w2 & 3;
-                for (int k = 0; k < 9; ++k) {
-                    uint64_t hi = w2 >> (2 * (9 - k));
-                    uint64_t mid = (w2 >> 2) & ((1ull << (2 * (8 - k))) - 1);
-                    for (uint64_t c = 0; c < 4; ++c) {
-                        uint64_t v9 = (((hi << 2) | c) << (2 * (8 - k)))
-                                      | mid;
-                        uint64_t key = (w1 << 20) | (v9 << 2) | p8;
-                        int64_t s = find_slot(t.k19_k, t.k19_n, key);
-                        if (s >= 0) add_id(ids, t.k19_v[s]);
-                    }
-                }
-            }
-            // ---- 1b
-            if (gate_r) {
-                // zero: R-exact group (w1.w2) -> representative
-                if (!full_search) {
-                    int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
-                    if (s >= 0) {
-                        single = (int64_t)t.rx_z[s];
-                        goto emit;
-                    }
-                }
-                uint64_t p_r = rev9(w1);
-                // sub probes
-                for (int col = 0; col < 37; ++col) {
-                    uint64_t v;
-                    if (col == 0) v = p_r;
-                    else {
-                        int i = (col - 1) / 4;
-                        uint64_t c = (uint64_t)((col - 1) % 4);
+                    for (int i = 0; i < 9; ++i) {
                         int shift = 2 * (8 - i);
-                        v = (p_r & ~(3ull << shift)) | (c << shift);
-                        if (v == p_r) continue;
+                        uint64_t cleared = w2 & ~(3ull << shift);
+                        for (uint64_t c = 0; c < 4; ++c) {
+                            uint64_t v = cleared | (c << shift);
+                            if (v == w2) continue;
+                            int64_t s = find_slot(t.fx_k, t.fx_n,
+                                                  (w1 << 18) | v);
+                            if (s >= 0) add_id(ids, t.fx_v[s]);
+                        }
                     }
-                    uint64_t key = (rev9(v) << 18) | w2;
-                    int64_t s = find_slot(t.rx_k, t.rx_n, key);
-                    if (s >= 0) {
-                        uint32_t st = t.rx_s[s], c2 = t.rx_c[s];
-                        for (uint32_t j = 0; j < c2; ++j)
-                            add_id(ids, t.r_ids[st + j]);
+                    for (int k = 0; k < 9; ++k) {
+                        uint64_t hi = w2 >> (2 * (9 - k));
+                        uint64_t lo = w2 & ((1ull << (2 * (8 - k))) - 1);
+                        uint64_t d8 = (hi << (2 * (8 - k))) | lo;
+                        int64_t s = find_slot(t.fp_k, t.fp_n,
+                                              (w1 << 16) | d8);
+                        if (s >= 0) {
+                            uint32_t st = t.fp_s[s], c = t.fp_c[s];
+                            for (uint32_t j = 0; j < c; ++j)
+                                add_id(ids, st + j);
+                        }
                     }
-                }
-                // del probes
-                for (int k = 0; k < 9; ++k) {
-                    uint64_t hi = p_r >> (2 * (9 - k));
-                    uint64_t lo = p_r & ((1ull << (2 * (8 - k))) - 1);
-                    uint64_t d8 = (hi << (2 * (8 - k))) | lo;
-                    uint64_t key = (rev8(d8) << 18) | w2;
-                    int64_t s = find_slot(t.rp_k, t.rp_n, key);
-                    if (s >= 0) {
-                        uint32_t st = t.rp_s[s], c2 = t.rp_c[s];
-                        for (uint32_t j = 0; j < c2; ++j)
-                            add_id(ids, t.r_ids[st + j]);
-                    }
-                }
-                // ins probes
-                uint64_t c0 = w1 >> 16;
-                for (int k = 0; k < 9; ++k) {
-                    uint64_t hi = p_r >> (2 * (9 - k));
-                    uint64_t mid = (p_r >> 2)
-                                   & ((1ull << (2 * (8 - k))) - 1);
-                    for (uint64_t c = 0; c < 4; ++c) {
-                        uint64_t v9 = (((hi << 2) | c) << (2 * (8 - k)))
-                                      | mid;
-                        uint64_t key = (c0 << 36) | (rev9(v9) << 18) | w2;
-                        int64_t s = find_slot(t.k19_k, t.k19_n, key);
-                        if (s >= 0) add_id(ids, t.k19_v[s]);
+                    uint64_t p8 = w2 & 3;
+                    for (int k = 0; k < 9; ++k) {
+                        uint64_t hi = w2 >> (2 * (9 - k));
+                        uint64_t mid = (w2 >> 2)
+                                       & ((1ull << (2 * (8 - k))) - 1);
+                        for (uint64_t c = 0; c < 4; ++c) {
+                            uint64_t v9 = (((hi << 2) | c)
+                                           << (2 * (8 - k))) | mid;
+                            uint64_t key = (w1 << 20) | (v9 << 2) | p8;
+                            int64_t s = find_slot(t.k19_k, t.k19_n, key);
+                            if (s >= 0) add_id(ids, t.k19_v[s]);
+                        }
                     }
                 }
             }
         }
-    emit:
+        // ---------------- subsearch 1b (exact w2 half)
+        if (single < 0 && gate_r) {
+            uint64_t p_r = rev9(w1);
+            uint32_t b0 = t.r19_off[w2], b1 = t.r19_off[w2 + 1];
+            bool zero_b = false;
+            if (b1 - b0 <= SCAN_MAX) {
+                for (uint32_t e = b0; e < b1; ++e) {
+                    int r = accept_tail_c(t.r19_tails[e], (uint32_t)p_r);
+                    if (r == 2 && !full_search) {
+                        zero_b = true;
+                        break;
+                    }
+                    if (r) add_id(ids, t.r19_ids[e]);
+                }
+            } else {
+                if (!full_search) {
+                    int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
+                    if (s >= 0) zero_b = true;
+                }
+                if (!zero_b) {
+                    for (int col = 0; col < 37; ++col) {
+                        uint64_t v;
+                        if (col == 0) v = p_r;
+                        else {
+                            int i = (col - 1) / 4;
+                            uint64_t c = (uint64_t)((col - 1) % 4);
+                            int shift = 2 * (8 - i);
+                            v = (p_r & ~(3ull << shift)) | (c << shift);
+                            if (v == p_r) continue;
+                        }
+                        uint64_t key = (rev9(v) << 18) | w2;
+                        int64_t s = find_slot(t.rx_k, t.rx_n, key);
+                        if (s >= 0) {
+                            uint32_t st = t.rx_s[s], c2 = t.rx_c[s];
+                            for (uint32_t j = 0; j < c2; ++j)
+                                add_id(ids, t.r_ids[st + j]);
+                        }
+                    }
+                    for (int k = 0; k < 9; ++k) {
+                        uint64_t hi = p_r >> (2 * (9 - k));
+                        uint64_t lo = p_r & ((1ull << (2 * (8 - k))) - 1);
+                        uint64_t d8 = (hi << (2 * (8 - k))) | lo;
+                        uint64_t key = (rev8(d8) << 18) | w2;
+                        int64_t s = find_slot(t.rp_k, t.rp_n, key);
+                        if (s >= 0) {
+                            uint32_t st = t.rp_s[s], c2 = t.rp_c[s];
+                            for (uint32_t j = 0; j < c2; ++j)
+                                add_id(ids, t.r_ids[st + j]);
+                        }
+                    }
+                    uint64_t c0 = w1 >> 16;
+                    for (int k = 0; k < 9; ++k) {
+                        uint64_t hi = p_r >> (2 * (9 - k));
+                        uint64_t mid = (p_r >> 2)
+                                       & ((1ull << (2 * (8 - k))) - 1);
+                        for (uint64_t c = 0; c < 4; ++c) {
+                            uint64_t v9 = (((hi << 2) | c)
+                                           << (2 * (8 - k))) | mid;
+                            uint64_t key = (c0 << 36)
+                                           | (rev9(v9) << 18) | w2;
+                            int64_t s = find_slot(t.k19_k, t.k19_n, key);
+                            if (s >= 0) add_id(ids, t.k19_v[s]);
+                        }
+                    }
+                }
+            }
+            if (zero_b) {
+                // first-inserted representative (traverse_bursttrie
+                // 237-262) from the R-exact table
+                int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
+                if (s >= 0) single = (int64_t)t.rx_z[s];
+            }
+        }
+
         if (single >= 0) {
             ++needed;
             if (n_out < cap) {

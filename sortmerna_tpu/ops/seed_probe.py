@@ -135,7 +135,9 @@ class SeedSearcher:
                     part.r_exact_count, part.r_exact_zero,
                     part.r_pref_keys, part.r_pref_start, part.r_pref_count,
                     part.k19_keys, part.k19_vals,
-                    part.r_ids, part.kmer_counts)]
+                    part.r_ids, part.kmer_counts,
+                    part.f19_offsets, part.f19_tails, part.f19_ids,
+                    part.r19_offsets, part.r19_tails, part.r19_ids)]
 
     def search_windows(self, w1: np.ndarray, w2: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
@@ -145,7 +147,8 @@ class SeedSearcher:
 
     def _search_native(self, w1, w2):
         (fxk, fxv, fpk, fps, fpc, rxk, rxs, rxc, rxz, rpk, rps, rpc,
-         k19k, k19v, rids, cnts) = self._cbufs
+         k19k, k19v, rids, cnts,
+         f19o, f19t, f19i, r19o, r19t, r19i) = self._cbufs
         w1 = np.ascontiguousarray(w1, np.int64)
         w2 = np.ascontiguousarray(w2, np.int64)
         nw = len(w1)
@@ -163,6 +166,8 @@ class SeedSearcher:
                 len(rpk),
                 k19k.ctypes.data, k19v.ctypes.data, len(k19k),
                 rids.ctypes.data, cnts.ctypes.data,
+                f19o.ctypes.data, f19t.ctypes.data, f19i.ctypes.data,
+                r19o.ctypes.data, r19t.ctypes.data, r19i.ctypes.data,
                 w1.ctypes.data, w2.ctypes.data, nw,
                 self.minoccur, int(self.full_search),
                 out_win.ctypes.data, out_id.ctypes.data, cap)
