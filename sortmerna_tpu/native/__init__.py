@@ -32,7 +32,7 @@ def _build() -> Optional[ctypes.CDLL]:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so = _BUILD_DIR / "libsmrtpu_native.so"
     srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp",
-            _SRC_DIR / "probe.cpp"]
+            _SRC_DIR / "probe.cpp", _SRC_DIR / "gumbel.cpp"]
     if (not so.exists()
             or any(so.stat().st_mtime < s.stat().st_mtime for s in srcs)):
         try:
@@ -85,6 +85,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.cand_stat_num_dbs.argtypes = [ctypes.c_void_p]
     lib.cand_stat_dbs.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_void_p]
+    lib.gumbel_island.restype = ctypes.c_int64
+    lib.gumbel_island.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx
@@ -141,3 +146,22 @@ def traceback_batch(refs: List[np.ndarray], queries: List[np.ndarray],
     if bad:
         raise RuntimeError(f"{bad} tracebacks failed (cigar overflow?)")
     return [out[i, :out_len[i]].tolist() for i in range(n)]
+
+
+def gumbel_histogram(match, mismatch, gap_open, gap_ext, freqs,
+                     seq_len=2000, n_pairs=160, margin=100,
+                     seed=182345345, hist_len=512):
+    """Interior island-peak histogram + effective cell count."""
+    lib = _build()
+    assert lib is not None
+    lib.gumbel_island_hist.restype = ctypes.c_int64
+    lib.gumbel_island_hist.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32]
+    f = np.ascontiguousarray(freqs, np.float64)
+    hist = np.zeros(hist_len, np.int64)
+    cells = lib.gumbel_island_hist(
+        match, mismatch, gap_open, gap_ext, f.ctypes.data, seq_len,
+        n_pairs, margin, seed, hist.ctypes.data, hist_len)
+    return hist, int(cells)

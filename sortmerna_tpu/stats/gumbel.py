@@ -29,6 +29,43 @@ from typing import Dict, Tuple
 import numpy as np
 
 
+# Calibration of the exact ungapped lambda onto the gapped (ALP) values
+# for the DEFAULT scoring 2/-3/5/2: quadratic maps lambda_u -> lambda and
+# lambda_u -> K, fit against the reference's deterministic ALP outputs
+# over 32 nucleotide compositions spanning GC 30-70% (max residuals:
+# lambda 0.13%, K 1.5%; see tests/test_gumbel.py).  For any other scoring
+# the island-method Monte Carlo below is used instead.
+_CAL_SCORING = (2, -3, 5, 2)
+_CAL_LAMBDA = (-0.5272783285006523, 1.7634425829325204,
+               -0.2866345528782629)
+_CAL_K = (-2.130507591172047, 3.566999955938629, -1.0607152854716335)
+
+
+def calibrated_gumbel(match: int, mismatch: int, gap_open: int,
+                      gap_ext: int, freqs) -> Tuple[float, float]:
+    """(lambda, K) via the calibrated exact estimator (default scoring
+    only; raises ValueError otherwise)."""
+    if (match, mismatch, gap_open, gap_ext) != _CAL_SCORING:
+        raise ValueError("calibration only covers the default scoring")
+    lam_u, _ = karlin_altschul_ungapped(match, mismatch,
+                                        np.asarray(freqs, np.float64))
+    a, b, c = _CAL_LAMBDA
+    lam = a * lam_u * lam_u + b * lam_u + c
+    a, b, c = _CAL_K
+    K = a * lam_u * lam_u + b * lam_u + c
+    return float(lam), float(K)
+
+
+def estimate_gumbel(match: int, mismatch: int, gap_open: int,
+                    gap_ext: int, freqs) -> Tuple[float, float]:
+    """Provider used by Refstats: calibrated estimator for the default
+    scoring, island-method Monte Carlo otherwise."""
+    if (match, mismatch, gap_open, gap_ext) == _CAL_SCORING:
+        return calibrated_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+    return island_gumbel(match, mismatch, gap_open, gap_ext,
+                         np.asarray(freqs, np.float64))
+
+
 def karlin_altschul_ungapped(match: int, mismatch: int,
                              freqs: np.ndarray) -> Tuple[float, float]:
     """Exact ungapped lambda and (approximate) K via classical formulas."""

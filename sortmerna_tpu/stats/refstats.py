@@ -119,7 +119,8 @@ def _cached_gumbel(match, mismatch, gap_open, gap_ext, freqs, cache_dir):
             with open(path) as fh:
                 d = json.load(fh)
             return d["lambda"], d["K"]
-    lam, K = island_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+    from .gumbel import estimate_gumbel
+    lam, K = estimate_gumbel(match, mismatch, gap_open, gap_ext, freqs)
     if key is not None:
         with open(os.path.join(cache_dir, key), "w") as fh:
             json.dump({"lambda": lam, "K": K}, fh)

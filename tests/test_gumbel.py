@@ -25,3 +25,58 @@ def test_ungapped_lambda_above_gapped():
     lam_ref, _ = alp_gumbel(2, -3, 5, 2, *f)
     assert lam_u > lam_ref
     assert abs(lam_u - 0.6337) < 0.01   # known value for 2/-3 uniform
+
+
+def test_calibrated_estimator_accuracy():
+    """Calibrated exact estimator vs ALP on the bundled DB compositions:
+    lambda within 0.3%, K within 3%."""
+    from sortmerna_tpu.stats.gumbel import calibrated_gumbel
+    from .util import gumbel_for_db
+    import pathlib
+    dbs = [
+        "/root/reference/data/test_ref.fasta",
+        "/root/reference/data/ref_GQ099317_forward_and_rc.fasta",
+        "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta",
+        "/root/reference/data/rRNA_databases/silva-arc-23s-id98.fasta",
+        "/root/reference/data/rRNA_databases/rfam-5.8s-database-id98.fasta",
+    ]
+    from sortmerna_tpu.index.builder import scan_reference
+    for db in dbs:
+        _, bg, _, _, _ = scan_reference(db)
+        f = bg / bg.sum()
+        lam_ref, k_ref = gumbel_for_db(db)
+        lam, K = calibrated_gumbel(2, -3, 5, 2, f)
+        assert abs(lam - lam_ref) / lam_ref < 0.003, db
+        assert abs(K - k_ref) / k_ref < 0.03, db
+
+
+def test_minimal_score_matches_alp():
+    """The integer minimal_score derived from the calibrated estimator
+    equals the ALP-derived one for the bundled DBs across read-count
+    scales (the quantity that gates acceptance)."""
+    import math
+    from sortmerna_tpu.stats.gumbel import calibrated_gumbel
+    from sortmerna_tpu.index.builder import scan_reference
+    from .util import gumbel_for_db
+
+    for db in ("/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta",
+               "/root/reference/data/test_ref.fasta"):
+        _, bg, full_len, _, _ = scan_reference(db)
+        fr = bg / bg.sum()
+        ent = float(-(fr * np.log2(fr)).sum())
+        lam_a, k_a = gumbel_for_db(db)
+        lam_c, k_c = calibrated_gumbel(2, -3, 5, 2, fr)
+        for (nreads, readlen) in ((1000, 120), (100000, 150), (2_000_000, 100)):
+            all_len = nreads * readlen
+            outs = []
+            for lam, K in ((lam_a, k_a), (lam_c, k_c)):
+                m = full_len
+                n = all_len
+                import math as M
+                expect_l = int(M.log(K * m * n) / ent)
+                # numseq approximated as full_len/1000 sequences
+                nseq = max(1, full_len // 1000)
+                mm = m - expect_l * nseq if m > expect_l * nseq else m
+                nn = n - expect_l * nreads
+                outs.append(int(M.log(1.0 / (K * mm * nn)) / -lam))
+            assert outs[0] == outs[1], (db, nreads, outs)
