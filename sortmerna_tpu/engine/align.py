@@ -72,9 +72,11 @@ def pack9_all(seq03: np.ndarray) -> np.ndarray:
     n = len(seq03) - PARTIAL_WIN + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
+    arr = np.ascontiguousarray(seq03, dtype=np.int64)
     acc = np.zeros(n, dtype=np.int64)
     for k in range(PARTIAL_WIN):
-        acc = (acc << 2) | seq03[k:k + n].astype(np.int64)
+        np.left_shift(acc, 2, out=acc)
+        np.add(acc, arr[k:k + n], out=acc)
     return acc
 
 
@@ -286,6 +288,11 @@ def align_part(
     if native_ok:
         from .. import native
         native_ok = native.have_native()
+    if native_ok and ctx.ref_seqs:
+        # the native engine packs (seq,pos,win) into 64-bit keys with
+        # 24-bit positions; gigantic single references fall back to the
+        # python path
+        native_ok = max(len(s) for s in ctx.ref_seqs) < (1 << 24)
 
     for count in range(num_strands):
         forward = not ((single and opts.is_reverse) or count == 1)

@@ -114,8 +114,9 @@ struct FSM {
     size_t it = 0;
     std::deque<std::pair<uint32_t, uint32_t>> match_set;
     int64_t begin_ref = 0, begin_read = 0;
-    // flattened hit arrays (for hits_on_ref per candidate)
-    std::vector<uint32_t> h_seq, h_pos, h_win;
+    // sorted (seq,pos,win) triples; per-candidate contiguous subranges
+    std::vector<uint64_t> trip;
+    std::vector<size_t> cand_begin, cand_end;
     // pending job geometry
     long aq = 0, ar = 0, head = 0, tail = 0, alen = 0;
     uint32_t cur_ref = 0;
@@ -156,38 +157,78 @@ static int ref_len(Engine* e, int r) {
     return (int)(e->refs_off[r + 1] - e->refs_off[r]);
 }
 
-// Build candidate list for a read (alignment.cpp:117-148)
+// Build candidate list for a read (alignment.cpp:117-148).
+// All (seq, pos, win) triples are materialized once and sorted by
+// (seq, pos, win); per-candidate hit lists become contiguous subranges,
+// replacing the reference's per-candidate rescan (alignment.cpp:181-201)
+// and the frequency map with run-length counting.
 static void build_cands(Engine* e, FSM& f,
                         const int64_t* kids, const int64_t* wins,
                         int n_hits) {
-    std::map<uint32_t, uint32_t> freq;
     size_t total = 0;
+    for (int h = 0; h < n_hits; ++h)
+        total += (size_t)(e->pos_off[kids[h] + 1] - e->pos_off[kids[h]]);
+    // pack (seq, pos, win) into one u64 key: seq<<40 | pos<<16 | win
+    // (pos < 2^24 guaranteed: sequences <= 16M nt per part; win < 2^16
+    // for reads <= 64K nt -- larger values fall back to 3-way sort)
+    f.trip.clear();
+    f.trip.reserve(total);
+    bool packable = true;
+    for (int h = 0; h < n_hits && packable; ++h)
+        packable = wins[h] < (1 << 16);
     for (int h = 0; h < n_hits; ++h) {
         int64_t kid = kids[h];
-        for (int64_t j = e->pos_off[kid]; j < e->pos_off[kid + 1]; ++j)
-            freq[e->pos_seq[j]]++;
-        total += (size_t)(e->pos_off[kid + 1] - e->pos_off[kid]);
-    }
-    f.cands.clear();
-    for (auto& kv : freq)
-        if (kv.second >= (uint32_t)e->o.num_seeds)
-            f.cands.push_back(kv);
-    std::stable_sort(f.cands.begin(), f.cands.end(),
-                     [](const std::pair<uint32_t, uint32_t>& a,
-                        const std::pair<uint32_t, uint32_t>& b) {
-                         if (a.second == b.second) return a.first < b.first;
-                         return a.second > b.second;
-                     });
-    // flatten positions for per-candidate filtering
-    f.h_seq.clear(); f.h_pos.clear(); f.h_win.clear();
-    f.h_seq.reserve(total); f.h_pos.reserve(total); f.h_win.reserve(total);
-    for (int h = 0; h < n_hits; ++h) {
-        int64_t kid = kids[h];
+        uint64_t w = (uint64_t)wins[h];
         for (int64_t j = e->pos_off[kid]; j < e->pos_off[kid + 1]; ++j) {
-            f.h_seq.push_back(e->pos_seq[j]);
-            f.h_pos.push_back(e->pos_pos[j]);
-            f.h_win.push_back((uint32_t)wins[h]);
+            uint64_t key = ((uint64_t)e->pos_seq[j] << 40)
+                           | ((uint64_t)(e->pos_pos[j] & 0xFFFFFF) << 16)
+                           | (w & 0xFFFF);
+            f.trip.push_back(key);
         }
+    }
+    std::sort(f.trip.begin(), f.trip.end());
+
+    f.cands.clear();
+    f.cand_begin.clear();
+    f.cand_end.clear();
+    size_t i = 0;
+    std::vector<std::pair<uint32_t, uint32_t>> all;   // (seq, freq)
+    std::vector<std::pair<size_t, size_t>> ranges;
+    while (i < f.trip.size()) {
+        uint32_t seq = (uint32_t)(f.trip[i] >> 40);
+        size_t j = i;
+        while (j < f.trip.size() && (uint32_t)(f.trip[j] >> 40) == seq)
+            ++j;
+        if (j - i >= (size_t)e->o.num_seeds) {
+            all.emplace_back(seq, (uint32_t)(j - i));
+            ranges.emplace_back(i, j);
+        }
+        i = j;
+    }
+    std::vector<size_t> order(all.size());
+    for (size_t k = 0; k < order.size(); ++k) order[k] = k;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](size_t a, size_t b) {
+                         if (all[a].second == all[b].second)
+                             return all[a].first < all[b].first;
+                         return all[a].second > all[b].second;
+                     });
+    for (size_t k : order) {
+        f.cands.push_back(all[k]);
+        f.cand_begin.push_back(ranges[k].first);
+        f.cand_end.push_back(ranges[k].second);
+    }
+}
+
+// materialize hits_on_ref for candidate j from its sorted subrange
+static void fill_hits_on_ref(const FSM& f, size_t j,
+                             std::vector<std::pair<uint32_t, uint32_t>>& out) {
+    out.clear();
+    out.reserve(f.cand_end[j] - f.cand_begin[j]);
+    for (size_t i = f.cand_begin[j]; i < f.cand_end[j]; ++i) {
+        uint64_t k = f.trip[i];
+        out.emplace_back((uint32_t)((k >> 16) & 0xFFFFFF),
+                         (uint32_t)(k & 0xFFFF));
     }
 }
 
@@ -203,12 +244,8 @@ static bool start_candidate(Engine* e, FSM& f) {
             && max_occur < f.cands[f.k - 1].second) {
             if (--f.best < 1) return false;
         }
-        // hits on this reference sorted by (pos, win)
-        f.hits_on_ref.clear();
-        for (size_t j = 0; j < f.h_seq.size(); ++j)
-            if (f.h_seq[j] == max_ref)
-                f.hits_on_ref.emplace_back(f.h_pos[j], f.h_win[j]);
-        std::sort(f.hits_on_ref.begin(), f.hits_on_ref.end());
+        // hits on this reference, already sorted by (pos, win)
+        fill_hits_on_ref(f, f.k, f.hits_on_ref);
         f.cur_ref = max_ref;
         f.it = 0;
         f.match_set.clear();
@@ -316,11 +353,8 @@ static bool first_job_of_candidate(Engine* e, const FSM& f, size_t j,
     if (f.cands[j].second < (uint32_t)e->o.num_seeds) return false;
     int readlen = read_len(e, f.ord);
     std::vector<std::pair<uint32_t, uint32_t>> hits;
-    for (size_t t = 0; t < f.h_seq.size(); ++t)
-        if (f.h_seq[t] == max_ref)
-            hits.emplace_back(f.h_pos[t], f.h_win[t]);
+    fill_hits_on_ref(f, j, hits);
     if (hits.empty()) return false;
-    std::sort(hits.begin(), hits.end());
     size_t it = 0;
     std::deque<std::pair<uint32_t, uint32_t>> ms;
     int64_t br = hits[0].first, bq = hits[0].second;
