@@ -111,43 +111,73 @@ def pad_batch(seqs, lens, width, dtype=np.int32):
 def _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
              terminate, tscore):
     """Shared column-scan DP over padded tiles with explicit validity
-    masks (int32 lanes, associative-scan F recurrence; see
-    sw_score_batch docstring for the semantics)."""
+    masks (int32 lanes, cummax F recurrence; see sw_score_batch
+    docstring for the semantics).
+
+    TPU-tuned formulation: the per-column substitution row comes from a
+    5-way select over precomputed per-character profiles (no gathers in
+    the scan body); ref columns stream in as scan xs (no dynamic
+    slices); and the (max score, earliest column, minimal row)
+    tie-breaking folds into ONE max-reduction per column by packing
+    ``H << s | (Lq-1-row)`` into a single lane.
+    """
     B, Lq = Q.shape
     Lr = R.shape[1]
     rows = jnp.arange(Lq, dtype=jnp.int32)
 
     prof = mat.T[Q]                                  # [B, Lq, 5]
     prof = jnp.where(row_valid[:, :, None], prof, NEG)
+    p0, p1, p2, p3, p4 = (prof[:, :, c] for c in range(5))
 
-    def step(carry, j):
-        Hprev, E, best, end_ref, end_read, done = carry
-        rj = R[:, j]
-        sub = jnp.take_along_axis(
-            prof, rj[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
-        sub = jnp.where(col_valid[:, j][:, None], sub, NEG)
+    # key packing: H values are bounded by Lq * max(mat) (local alignment
+    # over <=Lq query chars), so H << s fits int32 for tiles up to
+    # Lq=2048 even at |mat|=127; wider tiles use a 3-reduction tie-break
+    # instead (jnp int64 downcasts to int32 without x64 mode).
+    s = max((Lq - 1).bit_length(), 1)
+    packed = (Lq << s) < (1 << 24)
+    kdt = jnp.int32
+    revrow = (Lq - 1 - rows)[None, :].astype(kdt)    # [1, Lq]
+    f_ofs = (rows * gap_ext)[None, :]                # [1, Lq]
+    f_sub = ((rows - 1) * gap_ext)[None, :]
+
+    def step(carry, xs):
+        Hprev, E, bestscore, bestkey, end_ref, done = carry
+        rj, cvj, j = xs                              # [B], [B], []
+        rj = rj[:, None]
+        sub = jnp.where(rj == 0, p0,
+                        jnp.where(rj == 1, p1,
+                                  jnp.where(rj == 2, p2,
+                                            jnp.where(rj == 3, p3, p4))))
+        sub = jnp.where(cvj[:, None], sub, NEG)
         diag = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), Hprev[:, :-1]], axis=1) + sub
         E = jnp.maximum(E - gap_ext, Hprev - gap_open)
         Hpre = jnp.maximum(0, jnp.maximum(diag, E))
-        g = Hpre - gap_open + rows[None, :] * gap_ext
-        gmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
+        g = Hpre - gap_open + f_ofs
+        gmax = jax.lax.cummax(g, axis=1)
         F = jnp.concatenate(
             [jnp.full((B, 1), NEG, jnp.int32), gmax[:, :-1]], axis=1) \
-            - (rows[None, :] - 1) * gap_ext
+            - f_sub
         H = jnp.maximum(Hpre, F)
         H = jnp.where(row_valid, H, 0)
 
-        colmax = H.max(axis=1)
-        valid = col_valid[:, j] & ~done
-        improved = (colmax > best) & valid
-        row = jnp.argmax(H == colmax[:, None], axis=1).astype(jnp.int32)
-        best = jnp.where(improved, colmax, best)
+        if packed:
+            key = (H << s) | revrow
+            colkey = key.max(axis=1)                 # [B]
+            colmax = colkey >> s
+        else:
+            colmax = H.max(axis=1)
+            colrow = jnp.where(H == colmax[:, None], revrow, -1) \
+                .max(axis=1)
+            colkey = colrow                          # row bits only
+        valid = cvj & ~done
+        improved = (colmax > bestscore) & valid
+        bestscore = jnp.where(improved, colmax, bestscore)
+        bestkey = jnp.where(improved, colkey, bestkey)
         end_ref = jnp.where(improved, j, end_ref)
-        end_read = jnp.where(improved, row, end_read)
         if terminate:
             done = done | ((colmax == tscore) & valid)
-        return (H, E, best, end_ref, end_read, done), None
+        return (H, E, bestscore, bestkey, end_ref, done), None
 
     # init end_read = last valid row (ssw.c:171 readLen-1 semantics)
     last_valid = (Lq - 1
@@ -156,12 +186,16 @@ def _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
         jnp.zeros((B, Lq), jnp.int32),
         jnp.full((B, Lq), NEG, jnp.int32),
         jnp.zeros((B,), jnp.int32),
+        (Lq - 1 - last_valid).astype(kdt),
         jnp.full((B,), -1, jnp.int32),
-        last_valid,
         jnp.zeros((B,), bool),
     )
-    (H, E, best, end_ref, end_read, done), _ = jax.lax.scan(
-        step, init, jnp.arange(Lr, dtype=jnp.int32))
+    xs = (R.T, col_valid.T, jnp.arange(Lr, dtype=jnp.int32))
+    (H, E, best, bestkey, end_ref, done), _ = jax.lax.scan(step, init, xs)
+    if packed:
+        end_read = Lq - 1 - (bestkey & ((1 << s) - 1))
+    else:
+        end_read = Lq - 1 - bestkey
     return best, end_ref, end_read
 
 
