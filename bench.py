@@ -70,9 +70,13 @@ def main():
     warm.states = warm.states[:warm_n]
     run_align(warm, sw_backend=backend)
 
+    from sortmerna_tpu.util import TIMERS, timers_enabled, timers_report
+    TIMERS.clear()
     t0 = time.time()
     run_align(ctx, sw_backend=backend)
     dt = time.time() - t0
+    if timers_enabled():
+        print("TIMERS:", timers_report(), file=sys.stderr)
 
     n_hit = sum(1 for s in ctx.states if s.is_hit)
     rps = len(ctx.reads) / dt

@@ -171,7 +171,9 @@ def traverse_strand(
         if len(probe_read):
             w1 = p9all[gsel]
             w2 = p9all[gsel + PARTIAL_WIN]
-            hw, hid = searcher.search_windows(w1, w2)
+            from ..util import timed
+            with timed("probe"):
+                hw, hid = searcher.search_windows(w1, w2)
             # attribute hits; one hit_seeds increment per window with
             # >=1 id (paralleltraversal.cpp:242-249)
             if len(hw):

@@ -66,6 +66,18 @@ class NativeCandidateEngine:
 
     def close(self):
         if self.h:
+            from ..util import TIMERS, timers_enabled
+            if timers_enabled():
+                t7 = np.zeros(7, np.float64)
+                self.lib.cand_timers(self.h, t7.ctypes.data)
+                for k, v, c in (("cpp_build", t7[0], 1),
+                                ("cpp_advance", t7[1], 1),
+                                ("cpp_lis", t7[2], int(t7[4])),
+                                ("cpp_traceback", t7[3], int(t7[5])),
+                                ("cpp_triples", t7[6] / 1e9, int(t7[6]))):
+                    e = TIMERS.setdefault(k, [0.0, 0])
+                    e[0] += float(v)
+                    e[1] += c
             self.lib.cand_destroy(self.h)
             self.h = None
 
@@ -88,21 +100,12 @@ class NativeCandidateEngine:
         lib = self.lib
         base_aligned = lib.cand_stat_num_aligned(self.h)
 
-        for ord_, (kids, wins) in items:
-            st = states[ord_]
-            kids = np.ascontiguousarray(kids, np.int64)
-            wins = np.ascontiguousarray(wins, np.int64)
-            scores = np.asarray([a.score1 for a in st.alignments],
-                                np.int32)
-            idxn = np.asarray([a.index_num for a in st.alignments],
-                              np.int32)
-            lib.cand_start(
-                self.h, ord_, kids.ctypes.data, wins.ctypes.data,
-                len(kids), st.best, st.max_sw_count, int(st.is_hit),
-                len(scores), scores.ctypes.data, idxn.ctypes.data,
-                st.min_index, st.max_index)
+        from ..util import timed as _timed
+        with _timed("fsm_start"):
+            self._start_items(items, states)
 
         # SW waves (main + speculative jobs ride together)
+        from ..util import timed
         while True:
             if lib.cand_num_active(self.h) == 0:
                 break
@@ -113,18 +116,61 @@ class NativeCandidateEngine:
             r_off = np.zeros(n_jobs, np.int64)
             r_len = np.zeros(n_jobs, np.int32)
             minimal = np.zeros(n_jobs, np.int64)
-            n = lib.cand_next_jobs(
-                self.h, job_read.ctypes.data, q_off.ctypes.data,
-                q_len.ctypes.data, r_off.ctypes.data, r_len.ctypes.data,
-                minimal.ctypes.data)
+            with timed("fsm_jobs"):
+                n = lib.cand_next_jobs(
+                    self.h, job_read.ctypes.data, q_off.ctypes.data,
+                    q_len.ctypes.data, r_off.ctypes.data, r_len.ctypes.data,
+                    minimal.ctypes.data)
             assert n == n_jobs
-            res = sw_backend.batch_coords(
-                self.reads_data, q_off, q_len,
-                self.refs_data, r_off, r_len, minimal)
+            with timed("sw_wave"):
+                res = sw_backend.batch_coords(
+                    self.reads_data, q_off, q_len,
+                    self.refs_data, r_off, r_len, minimal)
             scores, rb, re, qb, qe = res
-            lib.cand_post(self.h, n, scores.ctypes.data, rb.ctypes.data,
-                          re.ctypes.data, qb.ctypes.data, qe.ctypes.data)
+            with timed("fsm_post"):
+                lib.cand_post(self.h, n, scores.ctypes.data,
+                              rb.ctypes.data, re.ctypes.data,
+                              qb.ctypes.data, qe.ctypes.data)
 
+        with _timed("fsm_apply"):
+            return self._collect(items, states, readstats, base_aligned)
+
+    def _start_items(self, items, states):
+        lib = self.lib
+        n = len(items)
+        if not n:
+            return
+        ords = np.zeros(n, np.int32)
+        hit_off = np.zeros(n + 1, np.int64)
+        st_off = np.zeros(n + 1, np.int64)
+        state5 = np.zeros((n, 5), np.int32)
+        sc_list, ix_list = [], []
+        for i, (ord_, (kids, wins)) in enumerate(items):
+            st = states[ord_]
+            ords[i] = ord_
+            hit_off[i + 1] = hit_off[i] + len(kids)
+            st_off[i + 1] = st_off[i] + len(st.alignments)
+            state5[i] = (st.best, st.max_sw_count, int(st.is_hit),
+                         st.min_index, st.max_index)
+            for a in st.alignments:
+                sc_list.append(a.score1)
+                ix_list.append(a.index_num)
+        kids_all = np.ascontiguousarray(
+            np.concatenate([k for _, (k, _) in items]), np.int64) \
+            if hit_off[-1] else np.zeros(1, np.int64)
+        wins_all = np.ascontiguousarray(
+            np.concatenate([w for _, (_, w) in items]), np.int64) \
+            if hit_off[-1] else np.zeros(1, np.int64)
+        scores = np.asarray(sc_list or [0], np.int32)
+        idxn = np.asarray(ix_list or [0], np.int32)
+        lib.cand_start_batch(
+            self.h, n, ords.ctypes.data, hit_off.ctypes.data,
+            kids_all.ctypes.data, wins_all.ctypes.data,
+            st_off.ctypes.data, scores.ctypes.data, idxn.ctypes.data,
+            state5.ctypes.data)
+
+    def _collect(self, items, states, readstats, base_aligned):
+        lib = self.lib
         # collect search flags + state updates
         out: Dict[int, bool] = {}
         st6 = np.zeros(6, np.int32)
@@ -138,24 +184,19 @@ class NativeCandidateEngine:
             st.min_index = int(st6[4])
             st.max_index = int(st6[5])
 
-        # apply actions
+        # apply actions (CIGARs deferred: copy the traceback windows now,
+        # materialize in one batched native call for survivors)
         n_act = lib.cand_num_actions(self.h)
         if n_act:
-            fields = np.zeros((n_act, 10), np.int32)
-            clens = np.zeros(n_act, np.int32)
+            fields = np.zeros((n_act, 13), np.int32)
+            woffs = np.zeros((n_act, 2), np.int64)
             lib.cand_export_actions(self.h, fields.ctypes.data,
-                                    clens.ctypes.data)
-            offs = np.zeros(n_act, np.int64)
-            if n_act > 1:
-                offs[1:] = np.cumsum(clens[:-1])
-            total = int(clens.sum())
-            cig = np.zeros(max(total, 1), np.uint32)
-            lib.cand_export_cigars(self.h, cig.ctypes.data,
-                                   offs.ctypes.data)
+                                    woffs.ctypes.data)
             for i in range(n_act):
                 f = fields[i]
                 ord_ = int(f[0])
                 st = states[ord_]
+                rw0, qw0 = int(woffs[i, 0]), int(woffs[i, 1])
                 aln = Alignment(
                     index_num=self.ctx.index_num,
                     part=self.ctx.part_num,
@@ -168,7 +209,10 @@ class NativeCandidateEngine:
                                 - self.reads_off[ord_]),
                     score1=int(f[5]),
                     strand=self._forward,
-                    cigar=cig[offs[i]:offs[i] + clens[i]].tolist(),
+                    cigar=None,
+                    tb=(self.refs_data[rw0:rw0 + int(f[10])].copy(),
+                        self.reads_data[qw0:qw0 + int(f[11])].copy(),
+                        int(f[12])),
                 )
                 if f[1] == 0:
                     st.alignments.append(aln)

@@ -37,6 +37,10 @@ class Alignment:
     score1: int
     strand: bool          # True: aligned on the forward strand
     cigar: List[int] = field(default_factory=list)   # packed len<<4|op
+    # deferred traceback: (ref_window u8, read_window u8, band); CIGARs
+    # for engine-produced alignments are materialized in one batched
+    # native call for SURVIVORS only (run.materialize_cigars)
+    tb: object = None
 
 
 @dataclass

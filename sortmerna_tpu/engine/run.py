@@ -148,6 +148,38 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
                         ctx.readstats.num_short += 1
                 align_part(batch, bstates, part, pctx, ctx.engine_opts,
                            skips, sw_backend, ctx.readstats)
+    materialize_cigars(ctx)
+
+
+def materialize_cigars(ctx: RunContext) -> None:
+    """Batched traceback for SURVIVING alignments with deferred CIGARs.
+
+    The native engine defers CIGAR generation (replace-min churn of
+    best-N bookkeeping, alignment.cpp:420-459, makes eager tracebacks
+    ~3x the surviving count); each pending alignment carries its clipped
+    (ref window, read window, band) in Alignment.tb."""
+    pend = [a for st in ctx.states for a in st.alignments
+            if a.cigar is None and a.tb is not None]
+    if not pend:
+        return
+    opts = ctx.opts
+    mat = scoring_matrix_5x5(opts.match, opts.mismatch,
+                             opts.score_n).astype(np.int64)
+    from .. import native
+    from ..ops import sw_ref
+    if native.have_native():
+        cigs = native.traceback_batch(
+            [a.tb[0] for a in pend], [a.tb[1] for a in pend],
+            [a.score1 for a in pend], [a.tb[2] for a in pend],
+            opts.gap_open, opts.gap_ext, mat)
+    else:
+        cigs = [sw_ref.banded_sw_traceback(
+                    a.tb[0].astype(np.int64), a.tb[1].astype(np.int64),
+                    a.score1, opts.gap_open, opts.gap_ext, a.tb[2], mat)
+                for a in pend]
+    for a, cg in zip(pend, cigs):
+        a.cigar = list(cg)
+        a.tb = None
 
 
 def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):

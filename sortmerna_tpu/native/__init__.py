@@ -76,8 +76,6 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.cand_num_actions.argtypes = [ctypes.c_void_p]
     lib.cand_export_actions.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_void_p]
-    lib.cand_export_cigars.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                       ctypes.c_void_p]
     lib.cand_clear_actions.argtypes = [ctypes.c_void_p]
     lib.cand_stat_num_aligned.restype = ctypes.c_int64
     lib.cand_stat_num_aligned.argtypes = [ctypes.c_void_p]
@@ -85,6 +83,9 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.cand_stat_num_dbs.argtypes = [ctypes.c_void_p]
     lib.cand_stat_dbs.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_void_p]
+    lib.cand_timers.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cand_start_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32] + [ctypes.c_void_p] * 8
     lib.gumbel_island.restype = ctypes.c_int64
     lib.gumbel_island.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -19,11 +19,18 @@
 // reads_matched_per_db replacement quirk (alignment.cpp:454).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <map>
 #include <vector>
+
+// lightweight internal timers (SMR_TIMERS path; ~25ns per stamp)
+static inline double now_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
 
 extern "C" int traceback_one_c(const uint8_t*, int, const uint8_t*, int,
                                int, int, int, int, const int8_t*,
@@ -76,7 +83,12 @@ struct Action {
     int32_t ref_num;
     int32_t score;
     int32_t rb, re, qb, qe;   // final (offset-corrected) coordinates
-    std::vector<uint32_t> cigar;
+    // deferred-traceback window (absolute offsets into refs/reads data):
+    // CIGARs are computed lazily for SURVIVING alignments only -- the
+    // replace-min churn of best-N bookkeeping (alignment.cpp:420-459)
+    // makes eager tracebacks ~3x the surviving count.
+    int64_t rw_off, qw_off;
+    int32_t rl, ql, band;
 };
 
 // Speculative SW job for a future candidate's FIRST window: its geometry
@@ -148,6 +160,9 @@ struct Engine {
     // readstats deltas
     int64_t d_num_aligned = 0;
     std::map<int, int64_t> d_matched_per_db;
+    // stage timers/counters: build, lis, traceback, advance; job/lis counts
+    double t_build = 0, t_lis = 0, t_tb = 0, t_adv = 0;
+    int64_t n_lis = 0, n_tb = 0, n_trip = 0;
 };
 
 static int read_len(Engine* e, int ord) {
@@ -317,7 +332,10 @@ static int window_loop(Engine* e, FSM& f) {
 
         if (do_align && f.match_set.size() >= (size_t)e->o.num_seeds) {
             std::vector<uint32_t> lis;
+            double tl0 = now_s();
             find_lis(f.match_set, lis);
+            e->t_lis += now_s() - tl0;
+            ++e->n_lis;
             if (lis.size() >= (size_t)e->o.min_lis) {
                 long lcs_r = f.match_set[lis[0]].first;
                 long lcs_q = f.match_set[lis[0]].second;
@@ -489,22 +507,13 @@ static void post_result(Engine* e, FSM& f, int32_t score,
         a.qe = qe + (int32_t)f.aq;
         a.first_hit = 0;
 
-        // traceback over the clipped window
-        {
-            const uint8_t* rw = e->refs_data + e->refs_off[f.cur_ref]
-                                + (f.ar - f.head) + rb;
-            const uint8_t* qw = e->reads_data + e->reads_off[f.ord]
-                                + f.aq + qb;
-            int rl = re - rb + 1;
-            int ql = qe - qb + 1;
-            int band = rl > ql ? rl - ql + 1 : ql - rl + 1;
-            a.cigar.resize(4096);
-            int n = traceback_one_c(rw, rl, qw, ql, score, (int)o.gap_open,
-                                    (int)o.gap_ext, band, o.mat,
-                                    a.cigar.data(), 4096);
-            if (n < 0) n = 0;
-            a.cigar.resize(n);
-        }
+        // deferred traceback window (clipped)
+        a.rw_off = e->refs_off[f.cur_ref] + (f.ar - f.head) + rb;
+        a.qw_off = e->reads_off[f.ord] + f.aq + qb;
+        a.rl = re - rb + 1;
+        a.ql = qe - qb + 1;
+        a.band = a.rl > a.ql ? a.rl - a.ql + 1 : a.ql - a.rl + 1;
+        ++e->n_tb;
 
         if (!f.is_hit) {
             f.is_hit = true;
@@ -634,9 +643,35 @@ void cand_start(void* h, int32_t ord,
     f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
     f.min_index = min_index;
     f.max_index = max_index;
+    double tb0 = now_s();
     build_cands(e, f, kids, wins, n_hits);
+    e->t_build += now_s() - tb0;
+    e->n_trip += (int64_t)f.trip.size();
+    double ta0 = now_s();
     advance(e, f);
+    e->t_adv += now_s() - ta0;
     if (f.phase == 2) e->active.push_back(ord);
+}
+
+// batched cand_start: one call for a whole pass.  CSR layouts:
+//   hits: kids/wins [hit_off[i] .. hit_off[i+1])
+//   stored alignment scores/idxnums: [st_off[i] .. st_off[i+1])
+//   state: [best, max_sw_count, is_hit, min_index, max_index] x n
+void cand_start_batch(void* h, int32_t n, const int32_t* ords,
+                      const int64_t* hit_off, const int64_t* kids,
+                      const int64_t* wins,
+                      const int64_t* st_off, const int32_t* stored_scores,
+                      const int32_t* stored_idxnums,
+                      const int32_t* state5) {
+    for (int32_t i = 0; i < n; ++i) {
+        const int32_t* s5 = state5 + i * 5;
+        cand_start(h, ords[i], kids + hit_off[i], wins + hit_off[i],
+                   (int32_t)(hit_off[i + 1] - hit_off[i]),
+                   s5[0], s5[1], s5[2],
+                   (int32_t)(st_off[i + 1] - st_off[i]),
+                   stored_scores + st_off[i], stored_idxnums + st_off[i],
+                   s5[3], s5[4]);
+    }
 }
 
 // total jobs of the next wave (main + unfilled speculative); builds the
@@ -708,10 +743,20 @@ void cand_post(void* h, int32_t n, const int32_t* scores,
         if (em.second >= 0) continue;
         FSM& f = e->fsms[em.first];
         post_result(e, f, scores[i], rb[i], re[i], qb[i], qe[i]);
+        double ta0 = now_s();
         advance(e, f);
+        e->t_adv += now_s() - ta0;
         if (f.phase == 2) e->active.push_back(em.first);
     }
     e->emission.clear();
+}
+
+// stage timers: [t_build, t_adv, t_lis, t_tb, n_lis, n_tb, n_trip]
+void cand_timers(void* h, double* out7) {
+    Engine* e = (Engine*)h;
+    out7[0] = e->t_build; out7[1] = e->t_adv; out7[2] = e->t_lis;
+    out7[3] = e->t_tb; out7[4] = (double)e->n_lis;
+    out7[5] = (double)e->n_tb; out7[6] = (double)e->n_trip;
 }
 
 int32_t cand_num_active(void* h) {
@@ -734,26 +779,19 @@ int32_t cand_num_actions(void* h) {
     return (int32_t)((Engine*)h)->actions.size();
 }
 
-// export actions: fixed fields + cigar lengths; cigar data via second call
-void cand_export_actions(void* h, int32_t* fields /*[n,10]*/,
-                         int32_t* cigar_len) {
+// export actions: fixed int32 fields [n,13] + int64 window offsets [n,2]
+void cand_export_actions(void* h, int32_t* fields /*[n,13]*/,
+                         int64_t* offs /*[n,2]*/) {
     Engine* e = (Engine*)h;
     for (size_t i = 0; i < e->actions.size(); ++i) {
         const Action& a = e->actions[i];
-        int32_t* r = fields + i * 10;
+        int32_t* r = fields + i * 13;
         r[0] = a.read_ord; r[1] = a.kind; r[2] = a.slot; r[3] = a.first_hit;
         r[4] = a.ref_num; r[5] = a.score;
         r[6] = a.rb; r[7] = a.re; r[8] = a.qb; r[9] = a.qe;
-        cigar_len[i] = (int32_t)a.cigar.size();
-    }
-}
-
-void cand_export_cigars(void* h, uint32_t* out, const int64_t* offs) {
-    Engine* e = (Engine*)h;
-    for (size_t i = 0; i < e->actions.size(); ++i) {
-        const Action& a = e->actions[i];
-        std::memcpy(out + offs[i], a.cigar.data(),
-                    a.cigar.size() * sizeof(uint32_t));
+        r[10] = a.rl; r[11] = a.ql; r[12] = a.band;
+        offs[i * 2] = a.rw_off;
+        offs[i * 2 + 1] = a.qw_off;
     }
 }
 

@@ -335,36 +335,45 @@ class JaxSwBackend:
             out[:n_] = M
             return out
 
-        groups = {}
-        for i in range(n):
-            key = (self._len_bucket(int(q_len[i])),
-                   self._len_bucket(int(r_len[i])))
-            groups.setdefault(key, []).append(i)
-        for (lq, lr), idxs in groups.items():
-            ia = np.asarray(idxs, np.int64)
-            for b0 in range(0, len(idxs), self.BLOCK):
-                ba = ia[b0:b0 + self.BLOCK]
-                B = self.BLOCK if len(idxs) > self.BLOCK else \
-                    self._min_block(len(ba))
-                buf = np.zeros((B, lq + lr + 12), np.uint8)
-                buf[:, :lq] = gather_rows_u8(
-                    q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
-                buf[:, lq:lq + lr] = gather_rows_u8(
-                    r_data, r_off[ba], r_len[ba].astype(np.int64), B, lr)
-                ints = np.ones((B, 3), np.int32)
-                ints[:, 2] = 1 << 30
-                ints[:len(ba), 0] = q_len[ba]
-                ints[:len(ba), 1] = r_len[ba]
-                ints[:len(ba), 2] = minimal[ba]
-                buf[:, lq + lr:] = ints.view(np.uint8).reshape(B, 12)
-                out = np.asarray(sw_fused_call(
-                    jnp.asarray(buf), self.mat, B, lq, lr,
-                    self.gap_open, self.gap_ext))
-                score[ba] = out[0, :len(ba)]
-                beg_ref[ba] = out[1, :len(ba)]
-                end_ref[ba] = out[2, :len(ba)]
-                beg_read[ba] = out[3, :len(ba)]
-                end_read[ba] = out[4, :len(ba)]
+        # One device call per BLOCK of jobs: each call costs a fixed
+        # ~30-45ms link round-trip through the tunnel, which dwarfs the
+        # compute wasted by padding short jobs up to their block's max
+        # bucket (a full 1024x256x512 tile computes in ~15ms).  Jobs
+        # sort by size so each block's padded shape tracks its own max;
+        # calls are dispatched asynchronously and downloaded after all
+        # blocks are in flight.
+        order = np.lexsort((q_len, r_len))[::-1] if n else \
+            np.zeros(0, np.int64)
+        pending = []
+        from ..util import timed
+        for b0 in range(0, n, self.BLOCK):
+            ba = order[b0:b0 + self.BLOCK]
+            B = self.BLOCK if n > self.BLOCK else self._min_block(len(ba))
+            lq = self._len_bucket(int(q_len[ba].max()))
+            lr = self._len_bucket(int(r_len[ba].max()))
+            buf = np.zeros((B, lq + lr + 12), np.uint8)
+            buf[:, :lq] = gather_rows_u8(
+                q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
+            buf[:, lq:lq + lr] = gather_rows_u8(
+                r_data, r_off[ba], r_len[ba].astype(np.int64), B, lr)
+            ints = np.ones((B, 3), np.int32)
+            ints[:, 2] = 1 << 30
+            ints[:len(ba), 0] = q_len[ba]
+            ints[:len(ba), 1] = r_len[ba]
+            ints[:len(ba), 2] = minimal[ba]
+            buf[:, lq + lr:] = ints.view(np.uint8).reshape(B, 12)
+            with timed(f"sw_submit[{B}x{lq}x{lr}]"):
+                dev = sw_fused_call(jnp.asarray(buf), self.mat, B, lq, lr,
+                                    self.gap_open, self.gap_ext)
+            pending.append((ba, dev))
+        for ba, dev in pending:
+            with timed("sw_fetch"):
+                out = np.asarray(dev)
+            score[ba] = out[0, :len(ba)]
+            beg_ref[ba] = out[1, :len(ba)]
+            end_ref[ba] = out[2, :len(ba)]
+            beg_read[ba] = out[3, :len(ba)]
+            end_read[ba] = out[4, :len(ba)]
         return score, beg_ref, end_ref, beg_read, end_read
 
     def batch_coords_hostgather(self, q_data: np.ndarray, q_off, q_len,

@@ -73,3 +73,34 @@ class PhaseTimer:
 
 
 TIMER = PhaseTimer()
+
+
+# ---------------------------------------------------------------------------
+# lightweight stage timers (enabled with SMR_TIMERS=1; printed by bench)
+
+TIMERS: dict = {}
+_TIMERS_ON = os.environ.get("SMR_TIMERS", "") not in ("", "0")
+
+
+def timers_enabled() -> bool:
+    return _TIMERS_ON
+
+
+@contextlib.contextmanager
+def timed(name: str):
+    if not _TIMERS_ON:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        e = TIMERS.setdefault(name, [0.0, 0])
+        e[0] += dt
+        e[1] += 1
+
+
+def timers_report() -> str:
+    return " ".join(f"{k}={v[0]:.2f}s/{v[1]}"
+                    for k, v in sorted(TIMERS.items()))

@@ -49,6 +49,7 @@ def _states(subset, backend, use_native, **kw):
             A.align_part(ctx.reads, ctx.states, part, pctx,
                          ctx.engine_opts, opts.skiplengths[idx_num],
                          backend, ctx.readstats, use_native=use_native)
+    R.materialize_cigars(ctx)
     return ctx
 
 
