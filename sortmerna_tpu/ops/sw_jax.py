@@ -288,10 +288,13 @@ class JaxSwBackend:
     # Shape discipline: sequence lengths snap to a coarse geometric ladder
     # and the batch dim is a single fixed block size, so the number of
     # compiled programs stays tiny (important through slow-compile paths
-    # such as a tunneled device).
-    _LEN_LADDER = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+    # such as a tunneled device).  The ladder floors at 256: narrower
+    # int32 tiles compile to SLOWER programs on TPU (measured 2x at
+    # B=4096), and each call's fixed link latency (~30-45ms tunneled)
+    # rewards large blocks.
+    _LEN_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
                    65536)
-    BLOCK = 1024
+    BLOCK = 4096
 
     @classmethod
     def _len_bucket(cls, n: int) -> int:
@@ -302,7 +305,7 @@ class JaxSwBackend:
 
     @classmethod
     def _min_block(cls, n: int) -> int:
-        for b in (64, 256, cls.BLOCK):
+        for b in (64, 256, 1024, cls.BLOCK):
             if n <= b:
                 return b
         return cls.BLOCK
