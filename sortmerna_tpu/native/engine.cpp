@@ -91,18 +91,19 @@ struct Action {
     int32_t rl, ql, band;
 };
 
-// Speculative SW job for a future candidate's FIRST window: its geometry
-// depends only on the hit lists (is_aligned is always reset by the first
-// window iteration of a new candidate, alignment.cpp:244-245), so it can
-// be scored in the same device wave as the current job and consumed when
-// the FSM reaches that candidate.
+// Speculative SW job.  EVERY window-loop iteration's job geometry is a
+// static function of the hit lists: SW scores influence only whether a
+// job's result is CONSUMED (heuristic 1 skips, early-stop, best-N
+// budget), never its geometry -- the match_set/begin_ref evolution after
+// an align attempt is the same pop step whether or not the attempt
+// happened (alignment.cpp:486-506 runs unconditionally).  So all of a
+// read's potential SW jobs are enumerated up front and scored in ONE
+// device wave; the sequential replay then consumes exactly the subset
+// the reference would have issued.
 struct SpecJob {
     size_t cand_k;
     long aq, ar, head, tail, alen;
     uint32_t ref;
-    size_t it_after;            // window-loop iterator state at the job
-    std::deque<std::pair<uint32_t, uint32_t>> match_set;
-    int64_t begin_ref, begin_read;
     int32_t score = -1, rb = -1, re = -1, qb = -1, qe = -1;
     bool filled = false;
 };
@@ -134,10 +135,7 @@ struct FSM {
     uint32_t cur_ref = 0;
     int phase = 0;   // 0: start candidate k, 1: window loop top,
                      // 2: awaiting SW result, 3: done
-    bool issued_in_candidate = false;  // an SW job was already issued for
-                                       // the current candidate
     std::vector<SpecJob> spec;
-    size_t spec_from = 0;       // candidates < spec_from already specced
 };
 
 struct Engine {
@@ -360,19 +358,20 @@ static int window_loop(Engine* e, FSM& f) {
     }
 }
 
-// Compute the FIRST window job of candidate j without mutating the FSM
-// (heuristic 1 cannot skip before the first job: the first iteration
-// always pushes, resetting is_aligned).  Returns false if the candidate
-// yields no job.
-static bool first_job_of_candidate(Engine* e, const FSM& f, size_t j,
-                                   SpecJob& out) {
-    if (j >= f.cands.size()) return false;
+// Enumerate EVERY potential SW job of candidate j (all window-loop
+// iterations passing the num_seeds / min_lis gates), mirroring
+// window_loop + the post-align pop step exactly.  A superset of what the
+// replay will issue (heuristic-1 skips and early-stops only trim
+// consumption).  Returns false once the per-read cap is hit.
+static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
+                                     size_t cap) {
+    if (j >= f.cands.size()) return true;
     uint32_t max_ref = f.cands[j].first;
-    if (f.cands[j].second < (uint32_t)e->o.num_seeds) return false;
+    if (f.cands[j].second < (uint32_t)e->o.num_seeds) return true;
     int readlen = read_len(e, f.ord);
     std::vector<std::pair<uint32_t, uint32_t>> hits;
     fill_hits_on_ref(f, j, hits);
-    if (hits.empty()) return false;
+    if (hits.empty()) return true;
     size_t it = 0;
     std::deque<std::pair<uint32_t, uint32_t>> ms;
     int64_t br = hits[0].first, bq = hits[0].second;
@@ -385,16 +384,20 @@ static bool first_job_of_candidate(Engine* e, const FSM& f, size_t j,
         }
         if (ms.size() >= (size_t)e->o.num_seeds) {
             std::vector<uint32_t> lis;
+            double tl0 = now_s();
             find_lis(ms, lis);
+            e->t_lis += now_s() - tl0;
+            ++e->n_lis;
             if (lis.size() >= (size_t)e->o.min_lis) {
-                out.cand_k = j;
-                out.ref = max_ref;
+                SpecJob s;
+                s.cand_k = j;
+                s.ref = max_ref;
                 window_geometry(readlen, ref_len(e, (int)max_ref),
                                 ms[lis[0]].first, ms[lis[0]].second,
                                 edges_of(e->o, readlen),
-                                out.ar, out.aq, out.head, out.tail,
-                                out.alen);
-                return true;
+                                s.ar, s.aq, s.head, s.tail, s.alen);
+                f.spec.push_back(s);
+                if (f.spec.size() >= cap) return false;
             }
         }
         if (!ms.empty()) ms.pop_front();
@@ -406,29 +409,28 @@ static bool first_job_of_candidate(Engine* e, const FSM& f, size_t j,
             bq = ms.front().second;
         }
     }
-    return false;
+    return true;
 }
 
-constexpr size_t SPEC_AHEAD = 6;
+// Per-read speculation budget.  Enumeration is host-cheap (~us per LIS)
+// and device compute is ~free relative to the per-wave link round-trip,
+// so the budget is set high enough that essentially no read ever falls
+// back to the one-job-per-wave tail.
+constexpr size_t SPEC_CAP = 8192;
 
-static void maybe_speculate(Engine* e, FSM& f) {
-    size_t ahead = 0;
-    for (const SpecJob& s : f.spec)
-        if (s.cand_k > f.k && !s.filled) ++ahead;
-    size_t j = f.spec_from > f.k + 1 ? f.spec_from : f.k + 1;
-    while (ahead < SPEC_AHEAD && j < f.cands.size()) {
-        SpecJob s;
-        if (f.cands[j].second < (uint32_t)e->o.num_seeds) {
-            f.spec_from = f.cands.size();
-            break;   // candidate loop would stop here
-        }
-        if (first_job_of_candidate(e, f, j, s)) {
-            f.spec.push_back(std::move(s));
-            ++ahead;
-        }
-        ++j;
-        f.spec_from = j;
-    }
+static void speculate_all(Engine* e, FSM& f) {
+    for (size_t j = 0; j < f.cands.size(); ++j)
+        if (!enumerate_candidate_jobs(e, f, j, SPEC_CAP)) break;
+}
+
+// find a filled speculative result for the FSM's pending geometry
+static SpecJob* spec_lookup(FSM& f) {
+    for (SpecJob& s : f.spec)
+        if (s.filled && s.cand_k == f.k
+            && s.aq == f.aq && s.ar == f.ar && s.head == f.head
+            && s.tail == f.tail && s.alen == f.alen && s.ref == f.cur_ref)
+            return &s;
+    return nullptr;
 }
 
 static void post_result(Engine* e, FSM& f, int32_t score,
@@ -440,30 +442,16 @@ static void advance(Engine* e, FSM& f) {
     for (;;) {
         if (f.phase == 0) {
             if (!start_candidate(e, f)) { f.phase = 3; return; }
-            f.issued_in_candidate = false;
             f.phase = 1;
         }
         if (f.phase == 1) {
             if (window_loop(e, f)) {
-                // first job of this candidate: try the spec cache
-                if (!f.issued_in_candidate) {
-                    bool consumed = false;
-                    for (SpecJob& s : f.spec) {
-                        if (s.cand_k == f.k && s.filled
-                            && s.aq == f.aq && s.ar == f.ar
-                            && s.head == f.head && s.tail == f.tail
-                            && s.alen == f.alen && s.ref == f.cur_ref) {
-                            f.issued_in_candidate = true;
-                            post_result(e, f, s.score, s.rb, s.re,
-                                        s.qb, s.qe);
-                            consumed = true;
-                            break;
-                        }
-                    }
-                    if (consumed) continue;
+                // any iteration's job may already be speculatively scored
+                SpecJob* s = spec_lookup(f);
+                if (s != nullptr) {
+                    post_result(e, f, s->score, s->rb, s->re, s->qb, s->qe);
+                    continue;
                 }
-                f.issued_in_candidate = true;
-                maybe_speculate(e, f);
                 f.phase = 2;
                 return;
             }
@@ -647,6 +635,7 @@ void cand_start(void* h, int32_t ord,
     build_cands(e, f, kids, wins, n_hits);
     e->t_build += now_s() - tb0;
     e->n_trip += (int64_t)f.trip.size();
+    speculate_all(e, f);
     double ta0 = now_s();
     advance(e, f);
     e->t_adv += now_s() - ta0;
@@ -683,7 +672,7 @@ int32_t cand_num_jobs(void* h) {
         FSM& f = e->fsms[ord];
         e->emission.emplace_back(ord, -1);
         for (size_t s = 0; s < f.spec.size(); ++s)
-            if (!f.spec[s].filled && f.spec[s].cand_k > f.k)
+            if (!f.spec[s].filled && f.spec[s].cand_k >= f.k)
                 e->emission.emplace_back(ord, (int32_t)s);
     }
     return (int32_t)e->emission.size();

@@ -369,14 +369,31 @@ class JaxSwBackend:
                 dev = sw_fused_call(jnp.asarray(buf), self.mat, B, lq, lr,
                                     self.gap_open, self.gap_ext)
             pending.append((ba, dev))
-        for ba, dev in pending:
+        # ONE download per wave: block outputs concatenate on device, so
+        # the per-fetch link round-trip (~30ms tunneled) is paid once.
+        if len(pending) > 1:
             with timed("sw_fetch"):
-                out = np.asarray(dev)
-            score[ba] = out[0, :len(ba)]
-            beg_ref[ba] = out[1, :len(ba)]
-            end_ref[ba] = out[2, :len(ba)]
-            beg_read[ba] = out[3, :len(ba)]
-            end_read[ba] = out[4, :len(ba)]
+                allout = np.asarray(jnp.concatenate(
+                    [dev for _, dev in pending], axis=1))
+            col = 0
+            for ba, dev in pending:
+                B = dev.shape[1]
+                out = allout[:, col:col + B]
+                col += B
+                score[ba] = out[0, :len(ba)]
+                beg_ref[ba] = out[1, :len(ba)]
+                end_ref[ba] = out[2, :len(ba)]
+                beg_read[ba] = out[3, :len(ba)]
+                end_read[ba] = out[4, :len(ba)]
+        else:
+            for ba, dev in pending:
+                with timed("sw_fetch"):
+                    out = np.asarray(dev)
+                score[ba] = out[0, :len(ba)]
+                beg_ref[ba] = out[1, :len(ba)]
+                end_ref[ba] = out[2, :len(ba)]
+                beg_read[ba] = out[3, :len(ba)]
+                end_read[ba] = out[4, :len(ba)]
         return score, beg_ref, end_ref, beg_read, end_read
 
     def batch_coords_hostgather(self, q_data: np.ndarray, q_off, q_len,
