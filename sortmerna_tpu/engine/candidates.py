@@ -62,6 +62,7 @@ class Opts:
     is_forward: bool = False
     is_reverse: bool = False
     minoccur: int = 0
+    threads: int = 1        # host threads (--threads, processor.cpp:248)
 
 
 class Readstats:

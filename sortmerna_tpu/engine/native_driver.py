@@ -63,6 +63,7 @@ class NativeCandidateEngine:
             opts.min_lis, opts.edges, int(opts.is_as_percent), opts.match,
             int(ctx.minimal_score), ctx.lnwin, opts.gap_open, opts.gap_ext,
             ctx.index_num, ctx.part_num, self.mat.ctypes.data)
+        self.lib.cand_set_threads(self.h, getattr(opts, "threads", 1))
 
     def close(self):
         if self.h:

@@ -104,6 +104,7 @@ def prepare(opts: RunOptions) -> RunContext:
         is_forward=opts.is_forward,
         is_reverse=opts.is_reverse,
         minoccur=opts.minoccur,
+        threads=max(1, opts.num_proc_thread),
     )
     return RunContext(opts, reads, states, readstats, indexes, refstats,
                       eopts)

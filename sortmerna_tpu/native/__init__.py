@@ -38,7 +38,7 @@ def _build() -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", str(so)] + [str(s) for s in srcs],
+                 "-pthread", "-o", str(so)] + [str(s) for s in srcs],
                 check=True, capture_output=True)
         except Exception:
             return None
@@ -57,6 +57,7 @@ def _build() -> Optional[ctypes.CDLL]:
         [ctypes.c_int] * 7 + [ctypes.c_long] + [ctypes.c_int] * 5 + \
         [ctypes.c_void_p]
     lib.cand_destroy.argtypes = [ctypes.c_void_p]
+    lib.cand_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.cand_start.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

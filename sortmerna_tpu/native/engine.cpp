@@ -24,6 +24,7 @@
 #include <cstring>
 #include <deque>
 #include <map>
+#include <thread>
 #include <vector>
 
 // lightweight internal timers (SMR_TIMERS path; ~25ns per stamp)
@@ -108,6 +109,15 @@ struct SpecJob {
     bool filled = false;
 };
 
+// One window-loop iteration, recorded during enumeration so the replay
+// never recomputes window geometry or LIS: `push` drives heuristic 1
+// (alignment.cpp:239-249), `spec` (>=0) is the SW job the iteration
+// issues when its num_seeds/min_lis gates passed.
+struct IterRec {
+    int32_t spec;      // index into FSM::spec, or -1 (no job this iter)
+    uint8_t push;      // did this iteration extend match_set?
+};
+
 struct FSM {
     int32_t ord = -1;
     // mutable read state
@@ -130,12 +140,21 @@ struct FSM {
     // sorted (seq,pos,win) triples; per-candidate contiguous subranges
     std::vector<uint64_t> trip;
     std::vector<size_t> cand_begin, cand_end;
+    size_t spec_lo = 0;   // emission low-water mark into spec
     // pending job geometry
     long aq = 0, ar = 0, head = 0, tail = 0, alen = 0;
     uint32_t cur_ref = 0;
-    int phase = 0;   // 0: start candidate k, 1: window loop top,
-                     // 2: awaiting SW result, 3: done
+    int phase = 0;   // 0: start candidate k, 1: live window-loop top,
+                     // 2: awaiting SW result (live path), 3: done,
+                     // 4: record walk (waits in-place on unfilled spec)
     std::vector<SpecJob> spec;
+    // enumeration records: per-candidate [rec_begin[k], rec_end[k])
+    // ranges into recs; cand_full[k]==0 means the candidate hit the
+    // speculation cap and replays through the live path instead.
+    std::vector<IterRec> recs;
+    std::vector<size_t> rec_begin, rec_end;
+    std::vector<uint8_t> cand_full;
+    size_t it_rec = 0;
 };
 
 struct Engine {
@@ -161,6 +180,13 @@ struct Engine {
     // stage timers/counters: build, lis, traceback, advance; job/lis counts
     double t_build = 0, t_lis = 0, t_tb = 0, t_adv = 0;
     int64_t n_lis = 0, n_tb = 0, n_trip = 0;
+    int nthreads = 1;   // host threads for batched FSM start (--threads)
+};
+
+// per-thread stat accumulators (merged into Engine after joins)
+struct Scratch {
+    double t_build = 0, t_lis = 0, t_adv = 0;
+    int64_t n_lis = 0, n_trip = 0;
 };
 
 static int read_len(Engine* e, int ord) {
@@ -246,26 +272,29 @@ static void fill_hits_on_ref(const FSM& f, size_t j,
 }
 
 // Start candidate k: returns true if the candidate loop should proceed
-// to the window loop, false if the whole call is done.
+// to the window loop / record walk, false if the whole call is done.
+// Record-path candidates skip the match_set machinery entirely.
 static bool start_candidate(Engine* e, FSM& f) {
-    for (;;) {
-        if (f.k >= f.cands.size() || !f.is_search_candidates) return false;
-        uint32_t max_ref = f.cands[f.k].first;
-        uint32_t max_occur = f.cands[f.k].second;
-        if (max_occur < (uint32_t)e->o.num_seeds) return false;
-        if (f.is_aligned && e->o.min_lis > 0 && f.k > 0
-            && max_occur < f.cands[f.k - 1].second) {
-            if (--f.best < 1) return false;
-        }
-        // hits on this reference, already sorted by (pos, win)
-        fill_hits_on_ref(f, f.k, f.hits_on_ref);
-        f.cur_ref = max_ref;
-        f.it = 0;
-        f.match_set.clear();
-        f.begin_ref = f.hits_on_ref[0].first;
-        f.begin_read = f.hits_on_ref[0].second;
+    if (f.k >= f.cands.size() || !f.is_search_candidates) return false;
+    uint32_t max_ref = f.cands[f.k].first;
+    uint32_t max_occur = f.cands[f.k].second;
+    if (max_occur < (uint32_t)e->o.num_seeds) return false;
+    if (f.is_aligned && e->o.min_lis > 0 && f.k > 0
+        && max_occur < f.cands[f.k - 1].second) {
+        if (--f.best < 1) return false;
+    }
+    f.cur_ref = max_ref;
+    if (f.cand_full[f.k]) {
+        f.it_rec = f.rec_begin[f.k];
         return true;
     }
+    // live fallback: hits on this reference, already sorted by (pos, win)
+    fill_hits_on_ref(f, f.k, f.hits_on_ref);
+    f.it = 0;
+    f.match_set.clear();
+    f.begin_ref = f.hits_on_ref[0].first;
+    f.begin_read = f.hits_on_ref[0].second;
+    return true;
 }
 
 // SW window geometry (alignment.cpp:283-357)
@@ -310,7 +339,7 @@ static long edges_of(const Opts& o, int readlen) {
 
 // One iteration of the window loop up to either an SW job (returns 1,
 // geometry stored in FSM) or candidate exhausted (returns 0).
-static int window_loop(Engine* e, FSM& f) {
+static int window_loop(Engine* e, FSM& f, Scratch& sc) {
     int readlen = read_len(e, f.ord);
     for (;;) {
         if (f.it >= f.hits_on_ref.size() || !f.is_search_candidates)
@@ -332,8 +361,8 @@ static int window_loop(Engine* e, FSM& f) {
             std::vector<uint32_t> lis;
             double tl0 = now_s();
             find_lis(f.match_set, lis);
-            e->t_lis += now_s() - tl0;
-            ++e->n_lis;
+            sc.t_lis += now_s() - tl0;
+            ++sc.n_lis;
             if (lis.size() >= (size_t)e->o.min_lis) {
                 long lcs_r = f.match_set[lis[0]].first;
                 long lcs_q = f.match_set[lis[0]].second;
@@ -358,13 +387,18 @@ static int window_loop(Engine* e, FSM& f) {
     }
 }
 
-// Enumerate EVERY potential SW job of candidate j (all window-loop
-// iterations passing the num_seeds / min_lis gates), mirroring
-// window_loop + the post-align pop step exactly.  A superset of what the
-// replay will issue (heuristic-1 skips and early-stops only trim
-// consumption).  Returns false once the per-read cap is hit.
+// Enumerate EVERY window-loop iteration of candidate j as an IterRec
+// (plus an SW SpecJob where the num_seeds / min_lis gates pass),
+// mirroring window_loop + the post-align pop step exactly.  The replay
+// (phase-4 record walk in advance()) then consumes exactly the subset
+// the reference would have issued -- no geometry/LIS recomputation.
+// Returns false once the per-read cap is hit; in that case this
+// candidate's partial records+jobs are rolled back and the candidate
+// falls to the live window-loop path.
 static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
-                                     size_t cap) {
+                                     size_t cap, Scratch& sc) {
+    f.rec_begin[j] = f.recs.size();
+    f.rec_end[j] = f.recs.size();
     if (j >= f.cands.size()) return true;
     uint32_t max_ref = f.cands[j].first;
     if (f.cands[j].second < (uint32_t)e->o.num_seeds) return true;
@@ -372,16 +406,20 @@ static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
     std::vector<std::pair<uint32_t, uint32_t>> hits;
     fill_hits_on_ref(f, j, hits);
     if (hits.empty()) return true;
+    size_t spec0 = f.spec.size();
     size_t it = 0;
     std::deque<std::pair<uint32_t, uint32_t>> ms;
     int64_t br = hits[0].first, bq = hits[0].second;
     while (it < hits.size()) {
         int64_t end_ref_max = br + readlen - bq - e->o.lnwin + 1;
+        bool push = false;
         while (it < hits.size()
                && (int64_t)hits[it].first <= end_ref_max) {
             ms.push_back(hits[it]);
+            push = true;
             ++it;
         }
+        IterRec rec{-1, (uint8_t)(push ? 1 : 0)};
         if (ms.size() >= (size_t)e->o.num_seeds) {
             std::vector<uint32_t> lis;
             double tl0 = now_s();
@@ -396,10 +434,18 @@ static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
                                 ms[lis[0]].first, ms[lis[0]].second,
                                 edges_of(e->o, readlen),
                                 s.ar, s.aq, s.head, s.tail, s.alen);
+                rec.spec = (int32_t)f.spec.size();
                 f.spec.push_back(s);
-                if (f.spec.size() >= cap) return false;
+                if (f.spec.size() >= cap) {
+                    // roll back the partial candidate
+                    f.spec.resize(spec0);
+                    f.recs.resize(f.rec_begin[j]);
+                    f.rec_end[j] = f.rec_begin[j];
+                    return false;
+                }
             }
         }
+        f.recs.push_back(rec);
         if (!ms.empty()) ms.pop_front();
         if (ms.empty()) {
             if (it < hits.size()) { br = hits[it].first; bq = hits[it].second; }
@@ -409,6 +455,7 @@ static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
             bq = ms.front().second;
         }
     }
+    f.rec_end[j] = f.recs.size();
     return true;
 }
 
@@ -418,47 +465,66 @@ static bool enumerate_candidate_jobs(Engine* e, FSM& f, size_t j,
 // back to the one-job-per-wave tail.
 constexpr size_t SPEC_CAP = 8192;
 
-static void speculate_all(Engine* e, FSM& f) {
-    for (size_t j = 0; j < f.cands.size(); ++j)
-        if (!enumerate_candidate_jobs(e, f, j, SPEC_CAP)) break;
+static void speculate_all(Engine* e, FSM& f, Scratch& sc) {
+    size_t n = f.cands.size();
+    f.rec_begin.assign(n, 0);
+    f.rec_end.assign(n, 0);
+    f.cand_full.assign(n, 1);
+    for (size_t j = 0; j < n; ++j) {
+        if (!enumerate_candidate_jobs(e, f, j, SPEC_CAP, sc)) {
+            for (size_t m = j; m < n; ++m) f.cand_full[m] = 0;
+            break;
+        }
+    }
 }
 
-// find a filled speculative result for the FSM's pending geometry
-static SpecJob* spec_lookup(FSM& f) {
-    for (SpecJob& s : f.spec)
-        if (s.filled && s.cand_k == f.k
-            && s.aq == f.aq && s.ar == f.ar && s.head == f.head
-            && s.tail == f.tail && s.alen == f.alen && s.ref == f.cur_ref)
-            return &s;
-    return nullptr;
-}
-
+static void apply_result(Engine* e, FSM& f,
+                         long aq, long ar, long head, uint32_t ref,
+                         int32_t score, int32_t rb, int32_t re,
+                         int32_t qb, int32_t qe);
 static void post_result(Engine* e, FSM& f, int32_t score,
                         int32_t rb, int32_t re, int32_t qb, int32_t qe);
 
-// advance an FSM until it has a pending job or is done; consumes cached
-// speculative results inline (no wave round-trip)
-static void advance(Engine* e, FSM& f) {
+// advance an FSM until it has a pending job or is done; the record walk
+// (phase 4) consumes filled speculative results inline and waits
+// in-place on the first unfilled one.
+static void advance(Engine* e, FSM& f, Scratch& sc) {
     for (;;) {
         if (f.phase == 0) {
             if (!start_candidate(e, f)) { f.phase = 3; return; }
-            f.phase = 1;
+            f.phase = f.cand_full[f.k] ? 4 : 1;
         }
-        if (f.phase == 1) {
-            if (window_loop(e, f)) {
-                // any iteration's job may already be speculatively scored
-                SpecJob* s = spec_lookup(f);
-                if (s != nullptr) {
-                    post_result(e, f, s->score, s->rb, s->re, s->qb, s->qe);
+        if (f.phase == 4) {
+            size_t end = f.rec_end[f.k];
+            while (f.it_rec < end && f.is_search_candidates) {
+                const IterRec& r = f.recs[f.it_rec];
+                bool do_align = true;
+                if (!r.push && f.is_aligned) do_align = false;
+                else f.is_aligned = false;
+                if (do_align && r.spec >= 0) {
+                    SpecJob& s = f.spec[r.spec];
+                    if (!s.filled) return;   // wave round-trip; resume here
+                    ++f.it_rec;
+                    apply_result(e, f, s.aq, s.ar, s.head, s.ref,
+                                 s.score, s.rb, s.re, s.qb, s.qe);
                     continue;
                 }
+                ++f.it_rec;
+            }
+            ++f.k;
+            f.phase = 0;
+            continue;
+        }
+        if (f.phase == 1) {
+            if (window_loop(e, f, sc)) {
                 f.phase = 2;
                 return;
             }
             ++f.k;
             f.phase = 0;
+            continue;
         }
-        if (f.phase == 3) return;
+        if (f.phase == 3 || f.phase == 2) return;
     }
 }
 
@@ -475,9 +541,13 @@ static int find_max_idx(const std::vector<int32_t>& s) {
     return mi;
 }
 
-// apply an SW result (alignment.cpp:388-473)
-static void post_result(Engine* e, FSM& f, int32_t score,
-                        int32_t rb, int32_t re, int32_t qb, int32_t qe) {
+// apply an SW result (alignment.cpp:388-473); geometry is the JOB's
+// (aq, ar, head, ref) -- the FSM's own fields on the live path, the
+// SpecJob's on the record path.
+static void apply_result(Engine* e, FSM& f,
+                         long aq, long ar, long head, uint32_t ref,
+                         int32_t score, int32_t rb, int32_t re,
+                         int32_t qb, int32_t qe) {
     const Opts& o = e->o;
     int readlen = read_len(e, f.ord);
     f.is_aligned = score > o.minimal_score;
@@ -487,17 +557,17 @@ static void post_result(Engine* e, FSM& f, int32_t score,
 
         Action a;
         a.read_ord = f.ord;
-        a.ref_num = (int32_t)f.cur_ref;
+        a.ref_num = (int32_t)ref;
         a.score = score;
-        a.rb = rb + (int32_t)(f.ar - f.head);
-        a.re = re + (int32_t)(f.ar - f.head);
-        a.qb = qb + (int32_t)f.aq;
-        a.qe = qe + (int32_t)f.aq;
+        a.rb = rb + (int32_t)(ar - head);
+        a.re = re + (int32_t)(ar - head);
+        a.qb = qb + (int32_t)aq;
+        a.qe = qe + (int32_t)aq;
         a.first_hit = 0;
 
         // deferred traceback window (clipped)
-        a.rw_off = e->refs_off[f.cur_ref] + (f.ar - f.head) + rb;
-        a.qw_off = e->reads_off[f.ord] + f.aq + qb;
+        a.rw_off = e->refs_off[ref] + (ar - head) + rb;
+        a.qw_off = e->reads_off[f.ord] + aq + qb;
         a.rl = re - rb + 1;
         a.ql = qe - qb + 1;
         a.band = a.rl > a.ql ? a.rl - a.ql + 1 : a.ql - a.rl + 1;
@@ -551,6 +621,14 @@ static void post_result(Engine* e, FSM& f, int32_t score,
         }
         f.search = false;
     }
+}
+
+// live-path result handler: bookkeeping + the post-align pop step
+// (alignment.cpp:486-506); the record path advances its cursor instead.
+static void post_result(Engine* e, FSM& f, int32_t score,
+                        int32_t rb, int32_t re, int32_t qb, int32_t qe) {
+    apply_result(e, f, f.aq, f.ar, f.head, f.cur_ref,
+                 score, rb, re, qb, qe);
     // resume window loop: pop step after the align attempt
     if (!f.match_set.empty()) f.match_set.pop_front();
     if (f.match_set.empty()) {
@@ -613,14 +691,21 @@ void* cand_create(const int64_t* pos_off, const uint32_t* pos_seq,
 
 void cand_destroy(void* h) { delete (Engine*)h; }
 
-// begin a compute_lis_alignment call for one read
-void cand_start(void* h, int32_t ord,
-                const int64_t* kids, const int64_t* wins, int32_t n_hits,
-                int32_t best, int32_t max_sw_count, int32_t is_hit,
-                int32_t n_stored, const int32_t* stored_scores,
-                const int32_t* stored_idxnums,
-                int32_t min_index, int32_t max_index) {
-    Engine* e = (Engine*)h;
+// host threads used by cand_start_batch (--threads)
+void cand_set_threads(void* h, int t) {
+    ((Engine*)h)->nthreads = t < 1 ? 1 : t;
+}
+
+// FSM init + speculation + first advance for one read.  Touches ONLY
+// the FSM and the caller's Scratch, so batches can run it from worker
+// threads; returns true if the FSM is left waiting on device results.
+static bool start_one(Engine* e, int32_t ord,
+                      const int64_t* kids, const int64_t* wins,
+                      int32_t n_hits,
+                      int32_t best, int32_t max_sw_count, int32_t is_hit,
+                      int32_t n_stored, const int32_t* stored_scores,
+                      const int32_t* stored_idxnums,
+                      int32_t min_index, int32_t max_index, Scratch& sc) {
     FSM& f = e->fsms[ord];
     f = FSM();
     f.ord = ord;
@@ -633,16 +718,45 @@ void cand_start(void* h, int32_t ord,
     f.max_index = max_index;
     double tb0 = now_s();
     build_cands(e, f, kids, wins, n_hits);
-    e->t_build += now_s() - tb0;
-    e->n_trip += (int64_t)f.trip.size();
-    speculate_all(e, f);
+    sc.t_build += now_s() - tb0;
+    sc.n_trip += (int64_t)f.trip.size();
+    speculate_all(e, f, sc);
     double ta0 = now_s();
-    advance(e, f);
-    e->t_adv += now_s() - ta0;
-    if (f.phase == 2) e->active.push_back(ord);
+    advance(e, f, sc);
+    sc.t_adv += now_s() - ta0;
+    return f.phase == 2 || f.phase == 4;
 }
 
-// batched cand_start: one call for a whole pass.  CSR layouts:
+static void merge_scratch(Engine* e, const Scratch& sc) {
+    e->t_build += sc.t_build;
+    e->t_lis += sc.t_lis;
+    e->t_adv += sc.t_adv;
+    e->n_lis += sc.n_lis;
+    e->n_trip += sc.n_trip;
+}
+
+// begin a compute_lis_alignment call for one read
+void cand_start(void* h, int32_t ord,
+                const int64_t* kids, const int64_t* wins, int32_t n_hits,
+                int32_t best, int32_t max_sw_count, int32_t is_hit,
+                int32_t n_stored, const int32_t* stored_scores,
+                const int32_t* stored_idxnums,
+                int32_t min_index, int32_t max_index) {
+    Engine* e = (Engine*)h;
+    Scratch sc;
+    if (start_one(e, ord, kids, wins, n_hits, best, max_sw_count, is_hit,
+                  n_stored, stored_scores, stored_idxnums,
+                  min_index, max_index, sc))
+        e->active.push_back(ord);
+    merge_scratch(e, sc);
+}
+
+// batched cand_start: one call for a whole pass, partitioned over
+// e->nthreads host threads (--threads; processor.cpp:248-253 is the
+// semantic model -- each thread owns a contiguous read slice).  Worker
+// threads touch only their own FSMs + a local Scratch; `active` is
+// assembled in ordinal-sorted order afterward so wave composition is
+// deterministic regardless of thread count.  CSR layouts:
 //   hits: kids/wins [hit_off[i] .. hit_off[i+1])
 //   stored alignment scores/idxnums: [st_off[i] .. st_off[i+1])
 //   state: [best, max_sw_count, is_hit, min_index, max_index] x n
@@ -652,27 +766,67 @@ void cand_start_batch(void* h, int32_t n, const int32_t* ords,
                       const int64_t* st_off, const int32_t* stored_scores,
                       const int32_t* stored_idxnums,
                       const int32_t* state5) {
-    for (int32_t i = 0; i < n; ++i) {
-        const int32_t* s5 = state5 + i * 5;
-        cand_start(h, ords[i], kids + hit_off[i], wins + hit_off[i],
-                   (int32_t)(hit_off[i + 1] - hit_off[i]),
-                   s5[0], s5[1], s5[2],
-                   (int32_t)(st_off[i + 1] - st_off[i]),
-                   stored_scores + st_off[i], stored_idxnums + st_off[i],
-                   s5[3], s5[4]);
+    Engine* e = (Engine*)h;
+    int nt = e->nthreads;
+    if (nt > n) nt = n > 0 ? n : 1;
+
+    auto run_slice = [&](int32_t lo, int32_t hi, Scratch& sc,
+                         std::vector<int32_t>& act) {
+        for (int32_t i = lo; i < hi; ++i) {
+            const int32_t* s5 = state5 + i * 5;
+            if (start_one(e, ords[i], kids + hit_off[i], wins + hit_off[i],
+                          (int32_t)(hit_off[i + 1] - hit_off[i]),
+                          s5[0], s5[1], s5[2],
+                          (int32_t)(st_off[i + 1] - st_off[i]),
+                          stored_scores + st_off[i],
+                          stored_idxnums + st_off[i],
+                          s5[3], s5[4], sc))
+                act.push_back(ords[i]);
+        }
+    };
+
+    if (nt <= 1) {
+        Scratch sc;
+        std::vector<int32_t> act;
+        run_slice(0, n, sc, act);
+        e->active.insert(e->active.end(), act.begin(), act.end());
+        merge_scratch(e, sc);
+        return;
+    }
+    std::vector<Scratch> scs(nt);
+    std::vector<std::vector<int32_t>> acts(nt);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+        int32_t lo = (int32_t)((int64_t)n * t / nt);
+        int32_t hi = (int32_t)((int64_t)n * (t + 1) / nt);
+        ths.emplace_back(run_slice, lo, hi, std::ref(scs[t]),
+                         std::ref(acts[t]));
+    }
+    for (auto& th : ths) th.join();
+    for (int t = 0; t < nt; ++t) {
+        e->active.insert(e->active.end(), acts[t].begin(), acts[t].end());
+        merge_scratch(e, scs[t]);
     }
 }
 
-// total jobs of the next wave (main + unfilled speculative); builds the
-// emission list consumed by cand_next_jobs / cand_post
+// total jobs of the next wave; builds the emission list consumed by
+// cand_next_jobs / cand_post.  Record-path FSMs (phase 4) emit only
+// their unfilled speculative jobs from the current candidate onward
+// (the job the cursor waits on is among them -- no duplicate scoring);
+// live-path FSMs (phase 2) emit their one pending main job.  Spec
+// entries are visited from a monotone per-FSM low-water cursor: jobs of
+// skipped candidates (cand_k < f.k) are dead and never rescanned.
 int32_t cand_num_jobs(void* h) {
     Engine* e = (Engine*)h;
     e->emission.clear();
     for (int32_t ord : e->active) {
         FSM& f = e->fsms[ord];
-        e->emission.emplace_back(ord, -1);
-        for (size_t s = 0; s < f.spec.size(); ++s)
-            if (!f.spec[s].filled && f.spec[s].cand_k >= f.k)
+        if (f.phase == 2) e->emission.emplace_back(ord, -1);
+        while (f.spec_lo < f.spec.size()
+               && f.spec[f.spec_lo].cand_k < f.k)
+            ++f.spec_lo;
+        for (size_t s = f.spec_lo; s < f.spec.size(); ++s)
+            if (!f.spec[s].filled)
                 e->emission.emplace_back(ord, (int32_t)s);
     }
     return (int32_t)e->emission.size();
@@ -727,16 +881,24 @@ void cand_post(void* h, int32_t n, const int32_t* scores,
     }
     std::vector<int32_t> prev;
     prev.swap(e->active);
+    // live-path main results first (their FSMs re-advance below)
     for (int32_t i = 0; i < n; ++i) {
         auto& em = e->emission[i];
         if (em.second >= 0) continue;
         FSM& f = e->fsms[em.first];
         post_result(e, f, scores[i], rb[i], re[i], qb[i], qe[i]);
-        double ta0 = now_s();
-        advance(e, f);
-        e->t_adv += now_s() - ta0;
-        if (f.phase == 2) e->active.push_back(em.first);
     }
+    // every previously-active FSM advances: record walks consume their
+    // freshly-filled speculative results inline
+    Scratch sc;
+    for (int32_t ord : prev) {
+        FSM& f = e->fsms[ord];
+        double ta0 = now_s();
+        advance(e, f, sc);
+        sc.t_adv += now_s() - ta0;
+        if (f.phase == 2 || f.phase == 4) e->active.push_back(ord);
+    }
+    merge_scratch(e, sc);
     e->emission.clear();
 }
 
