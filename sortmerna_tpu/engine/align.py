@@ -281,7 +281,8 @@ def align_part(
 ) -> None:
     """Process one index part for a batch of reads: both strands
     (align2, processor.cpp:128-147)."""
-    searcher = SeedSearcher(part, opts.minoccur, opts.is_full_search)
+    searcher = SeedSearcher(part, opts.minoccur, opts.is_full_search,
+                            threads=opts.threads)
 
     single = opts.is_forward ^ opts.is_reverse
     num_strands = 1 if single else 2

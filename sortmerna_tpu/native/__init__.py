@@ -103,7 +103,8 @@ def _build() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p] * 6                                   # scan tables
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # windows
         + [ctypes.c_int32, ctypes.c_int32]
-        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64])
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        + [ctypes.c_int32])                                       # threads
     _LIB = lib
     return lib
 

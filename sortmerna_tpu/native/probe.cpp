@@ -10,6 +10,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -99,40 +100,16 @@ static inline int accept_tail_c(uint32_t w10, uint32_t p) {
 // threshold above which a bucket falls back to probe enumeration
 constexpr uint32_t SCAN_MAX = 1024;
 
-}  // namespace
-
-extern "C" {
-
-// Returns number of (win, id) pairs written, or -(needed) if cap is too
-// small (caller retries with a bigger buffer).
-int64_t probe_windows(
-    const uint64_t* fx_k, const uint32_t* fx_v, int64_t fx_n,
-    const uint64_t* fp_k, const uint32_t* fp_s, const uint32_t* fp_c,
-    int64_t fp_n,
-    const uint64_t* rx_k, const uint32_t* rx_s, const uint32_t* rx_c,
-    const uint32_t* rx_z, int64_t rx_n,
-    const uint64_t* rp_k, const uint32_t* rp_s, const uint32_t* rp_c,
-    int64_t rp_n,
-    const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
-    const uint32_t* r_ids, const uint32_t* counts9,
-    const uint32_t* f19_off, const uint32_t* f19_tails,
-    const uint32_t* f19_ids,
-    const uint32_t* r19_off, const uint32_t* r19_tails,
-    const uint32_t* r19_ids,
-    const int64_t* w1a, const int64_t* w2a, int64_t nw,
-    int32_t minoccur, int32_t full_search,
-    int64_t* out_win, int64_t* out_id, int64_t cap) {
-
-    Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
-             rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
-             k19_k, k19_v, k19_n, r_ids, counts9,
-             f19_off, f19_tails, f19_ids, r19_off, r19_tails, r19_ids};
-    int64_t n_out = 0;
-    int64_t needed = 0;
+// probe windows [lo, hi) into a local (win, id) vector (one thread's
+// slice; window order within the slice matches the sequential scan)
+static void probe_range(
+    const Tables& t, const int64_t* w1a, const int64_t* w2a,
+    int64_t lo, int64_t hi, int32_t minoccur, int32_t full_search,
+    std::vector<std::pair<int64_t, int64_t>>& out) {
     std::vector<int64_t> ids;
     ids.reserve(256);
 
-    for (int64_t w = 0; w < nw; ++w) {
+    for (int64_t w = lo; w < hi; ++w) {
         uint64_t w1 = (uint64_t)w1a[w];
         uint64_t w2 = (uint64_t)w2a[w];
         bool gate_f = t.counts9[w1] > (uint32_t)minoccur;
@@ -279,26 +256,69 @@ int64_t probe_windows(
         }
 
         if (single >= 0) {
-            ++needed;
-            if (n_out < cap) {
-                out_win[n_out] = w;
-                out_id[n_out] = single;
-                ++n_out;
-            }
+            out.emplace_back(w, single);
             continue;
         }
         std::sort(ids.begin(), ids.end());
         ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
-        for (int64_t v : ids) {
-            ++needed;
-            if (n_out < cap) {
-                out_win[n_out] = w;
-                out_id[n_out] = v;
-                ++n_out;
-            }
-        }
+        for (int64_t v : ids) out.emplace_back(w, v);
     }
-    if (needed > n_out) return -needed;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of (win, id) pairs written, or -(needed) if cap is too
+// small (caller retries with a bigger buffer).  Windows are partitioned
+// over `threads` host threads; chunk concatenation preserves the
+// sequential per-window output order exactly.
+int64_t probe_windows(
+    const uint64_t* fx_k, const uint32_t* fx_v, int64_t fx_n,
+    const uint64_t* fp_k, const uint32_t* fp_s, const uint32_t* fp_c,
+    int64_t fp_n,
+    const uint64_t* rx_k, const uint32_t* rx_s, const uint32_t* rx_c,
+    const uint32_t* rx_z, int64_t rx_n,
+    const uint64_t* rp_k, const uint32_t* rp_s, const uint32_t* rp_c,
+    int64_t rp_n,
+    const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
+    const uint32_t* r_ids, const uint32_t* counts9,
+    const uint32_t* f19_off, const uint32_t* f19_tails,
+    const uint32_t* f19_ids,
+    const uint32_t* r19_off, const uint32_t* r19_tails,
+    const uint32_t* r19_ids,
+    const int64_t* w1a, const int64_t* w2a, int64_t nw,
+    int32_t minoccur, int32_t full_search,
+    int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads) {
+
+    Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
+             rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
+             k19_k, k19_v, k19_n, r_ids, counts9,
+             f19_off, f19_tails, f19_ids, r19_off, r19_tails, r19_ids};
+    int nt = threads < 1 ? 1 : threads;
+    if ((int64_t)nt > nw) nt = nw > 0 ? (int)nw : 1;
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> outs(nt);
+    if (nt <= 1) {
+        probe_range(t, w1a, w2a, 0, nw, minoccur, full_search, outs[0]);
+    } else {
+        std::vector<std::thread> ths;
+        for (int i = 0; i < nt; ++i) {
+            int64_t lo = nw * i / nt, hi = nw * (i + 1) / nt;
+            ths.emplace_back(probe_range, std::cref(t), w1a, w2a, lo, hi,
+                             minoccur, full_search, std::ref(outs[i]));
+        }
+        for (auto& th : ths) th.join();
+    }
+    int64_t needed = 0;
+    for (auto& o : outs) needed += (int64_t)o.size();
+    if (needed > cap) return -needed;
+    int64_t n_out = 0;
+    for (auto& o : outs)
+        for (auto& p : o) {
+            out_win[n_out] = p.first;
+            out_id[n_out] = p.second;
+            ++n_out;
+        }
     return n_out;
 }
 

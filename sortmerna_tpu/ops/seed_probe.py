@@ -119,10 +119,12 @@ class SeedSearcher:
     path below is the reference backend (tests assert equality)."""
 
     def __init__(self, part: IndexPart, minoccur: int = 0,
-                 full_search: bool = False, use_native: bool = True):
+                 full_search: bool = False, use_native: bool = True,
+                 threads: int = 1):
         self.part = part
         self.minoccur = minoccur
         self.full_search = full_search
+        self.threads = max(1, threads)
         self._lib = None
         if use_native:
             from .. import native
@@ -170,7 +172,8 @@ class SeedSearcher:
                 r19o.ctypes.data, r19t.ctypes.data, r19i.ctypes.data,
                 w1.ctypes.data, w2.ctypes.data, nw,
                 self.minoccur, int(self.full_search),
-                out_win.ctypes.data, out_id.ctypes.data, cap)
+                out_win.ctypes.data, out_id.ctypes.data, cap,
+                self.threads)
             if n >= 0:
                 return out_win[:n], out_id[:n]
             cap = int(-n) + 16
