@@ -104,7 +104,12 @@ def compute_refstats(
 
 
 def _cached_gumbel(match, mismatch, gap_open, gap_ext, freqs, cache_dir):
-    """Disk-cached estimator results, keyed by scoring + rounded freqs."""
+    """Disk-cached (lambda, K), keyed by scoring + rounded freqs.
+
+    Provider order: exact ALP driver (stats/alp_exact.py, byte-identical
+    to the reference's refstats.cpp:184-233 call) when an ALP source
+    tree is available on this machine, else the deterministic estimator
+    (stats/gumbel.py)."""
     import json
     import os
     key = None
@@ -114,16 +119,27 @@ def _cached_gumbel(match, mismatch, gap_open, gap_ext, freqs, cache_dir):
         key = "gumbel_%d_%d_%d_%d_%s.json" % (
             match, mismatch, gap_open, gap_ext,
             "_".join(f"{x:.6f}" for x in f))
+    from .alp_exact import alp_gumbel_exact, available as alp_available
+    if key is not None:
         path = os.path.join(cache_dir, key)
         if os.path.exists(path):
             with open(path) as fh:
                 d = json.load(fh)
-            return d["lambda"], d["K"]
-    from .gumbel import estimate_gumbel
-    lam, K = estimate_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+            # an estimator-cached value must not mask a newly available
+            # exact provider
+            if d.get("provider") == "alp" or not alp_available():
+                return d["lambda"], d["K"]
+    got = alp_gumbel_exact(match, mismatch, gap_open, gap_ext, freqs)
+    if got is not None:
+        lam, K = got
+        provider = "alp"
+    else:
+        from .gumbel import estimate_gumbel
+        lam, K = estimate_gumbel(match, mismatch, gap_open, gap_ext, freqs)
+        provider = "estimator"
     if key is not None:
         with open(os.path.join(cache_dir, key), "w") as fh:
-            json.dump({"lambda": lam, "K": K}, fh)
+            json.dump({"lambda": lam, "K": K, "provider": provider}, fh)
     return lam, K
 
 

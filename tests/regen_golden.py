@@ -2,7 +2,6 @@
 import os, pathlib, re, shutil, sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-from tests.util import gumbel_for_db
 from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 
@@ -15,7 +14,6 @@ opts = parse_args(["-ref", DB, "-reads", str(GOLD / "set2_200.fasta"),
                    "-fastx", "-other", "-sam", "-blast",
                    "1 cigar qcov qstrand", "-otu_map", "-de_novo_otu",
                    "-num_alignments", "2", "-workdir", str(wd)])
-opts.gumbel_override = [gumbel_for_db(DB)]
 opts.cmdline = "GOLDEN"
 run_all(opts)
 outd = wd / "out"

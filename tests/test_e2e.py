@@ -8,13 +8,11 @@ from sortmerna_tpu.options import RunOptions
 from sortmerna_tpu.engine.run import part_ref_context, prepare, run_align
 from sortmerna_tpu.reports.blast import blast_for_read
 
-from .util import gumbel_for_db
 
 
 def _run(ref, reads, **kw):
     opts = RunOptions(
-        ref_files=[str(ref)], reads_files=[str(reads)],
-        gumbel_override=[gumbel_for_db(ref)], **kw)
+        ref_files=[str(ref)], reads_files=[str(reads)], **kw)
     ctx = prepare(opts)
     run_align(ctx)
     return ctx
@@ -86,8 +84,7 @@ def test_short_reads_skipped(ref_data, tmp_path):
     p.write_text(">s1\nACGTACGT\n>s2\n" + "ACGT" * 50 + "\n")
     opts = RunOptions(
         ref_files=[str(ref_data / "test_ref.fasta")],
-        reads_files=[str(p)],
-        gumbel_override=[gumbel_for_db(ref_data / "test_ref.fasta")])
+        reads_files=[str(p)])
     ctx = prepare(opts)
     run_align(ctx)
     assert ctx.readstats.num_short == 1

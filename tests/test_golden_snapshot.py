@@ -14,7 +14,6 @@ import pytest
 from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 
-from .util import gumbel_for_db
 
 HERE = pathlib.Path(__file__).parent
 GOLD = HERE / "golden"
@@ -28,7 +27,6 @@ def test_golden_snapshot(tmp_path):
         "-fastx", "-other", "-sam", "-blast", "1 cigar qcov qstrand",
         "-otu_map", "-de_novo_otu", "-num_alignments", "2",
         "-workdir", str(wd)])
-    opts.gumbel_override = [gumbel_for_db(DB)]
     opts.cmdline = "GOLDEN"
     run_all(opts)
     outd = wd / "out"

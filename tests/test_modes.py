@@ -10,7 +10,6 @@ from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 from sortmerna_tpu.io.fastx import format_record, iter_fastx
 
-from .util import gumbel_for_db
 
 REF = "/root/reference/data/ref_GQ099317_forward_and_rc.fasta"
 READS = "/root/reference/data/illumina_GQ099317.fasta"
@@ -20,7 +19,6 @@ def _run(tmp_path, extra, name):
     wd = tmp_path / name
     opts = parse_args(["-ref", REF, "-reads", READS,
                        "-workdir", str(wd)] + extra)
-    opts.gumbel_override = [gumbel_for_db(REF)]
     return run_all(opts), wd
 
 
@@ -76,7 +74,6 @@ def test_print_all_reads_blast_sam(tmp_path):
     opts = parse_args(["-ref", REF, "-reads", str(reads),
                        "-blast", "1", "-sam", "-print_all_reads",
                        "-workdir", str(wd)])
-    opts.gumbel_override = [gumbel_for_db(REF)]
     run_all(opts)
     blast = (wd / "out" / "aligned.blast").read_text().splitlines()
     junk_rows = [l for l in blast if l.startswith("junk\t*")]

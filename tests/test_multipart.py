@@ -11,7 +11,6 @@ from sortmerna_tpu.index.builder import build_index
 from sortmerna_tpu.io.fastx import format_record, iter_fastx
 from sortmerna_tpu.options import RunOptions
 
-from .util import gumbel_for_db
 
 DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
 SET2 = "/root/reference/data/set2_environmental_study_550_amplicon.fasta.gz"
@@ -36,8 +35,7 @@ def test_partition_invariant_under_split(tmp_path):
     def run(max_mb):
         opts = RunOptions(
             ref_files=[DB], reads_files=[str(sub)],
-            max_file_size=max_mb,
-            gumbel_override=[gumbel_for_db(DB)])
+            max_file_size=max_mb)
         ctx = prepare(opts)
         run_align(ctx)
         return ctx

@@ -12,7 +12,6 @@ from sortmerna_tpu.options import RunOptions
 from sortmerna_tpu.ops.sw_jax import JaxSwBackend
 from sortmerna_tpu import native
 
-from .util import gumbel_for_db
 
 DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
 SET2 = "/root/reference/data/set2_environmental_study_550_amplicon.fasta.gz"
@@ -28,8 +27,7 @@ def subset(tmp_path_factory):
 
 
 def _states(subset, backend, use_native, **kw):
-    opts = RunOptions(ref_files=[DB], reads_files=[subset],
-                      gumbel_override=[gumbel_for_db(DB)], **kw)
+    opts = RunOptions(ref_files=[DB], reads_files=[subset], **kw)
     ctx = prepare(opts)
     import sortmerna_tpu.engine.run as R
     import sortmerna_tpu.engine.align as A

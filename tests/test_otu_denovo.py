@@ -12,7 +12,6 @@ from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 from sortmerna_tpu.io.fastx import format_record, iter_fastx
 
-from .util import gumbel_for_db
 
 DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
 SET2 = "/root/reference/data/set2_environmental_study_550_amplicon.fasta.gz"
@@ -35,7 +34,6 @@ def test_otu_denovo_invariants(subset, tmp_path):
             "-de_novo_otu", "-id", "0.97", "-coverage", "0.97",
             "-workdir", str(wd)]
     opts = parse_args(argv)
-    opts.gumbel_override = [gumbel_for_db(DB)]
     ctx = run_all(opts)
     rs = ctx.readstats
 

@@ -10,7 +10,6 @@ from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 from sortmerna_tpu.io.fastx import iter_fastx
 
-from .util import gumbel_for_db
 
 DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
 S4_1 = "/root/reference/data/set4_mate_pairs_metatranscriptomics_1.fastq"
@@ -40,7 +39,6 @@ def _run(subset, tmp_path, extra):
     argv = ["-ref", DB, "-reads", subset[0], "-reads", subset[1],
             "-fastx", "-other", "-workdir", str(wd)] + extra
     opts = parse_args(argv)
-    opts.gumbel_override = [gumbel_for_db(DB)]
     ctx = run_all(opts)
     return ctx, wd
 

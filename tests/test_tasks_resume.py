@@ -10,7 +10,6 @@ import pytest
 from sortmerna_tpu.cli import parse_args
 from sortmerna_tpu.engine.run import run_all
 
-from .util import gumbel_for_db
 
 REF = "/root/reference/data/test_ref.fasta"
 READS = "/root/reference/data/test_read.fasta"
@@ -26,7 +25,6 @@ def _argv(wd, task=None, extra=()):
 
 def _run(wd, task=None, extra=()):
     opts = parse_args(_argv(wd, task, extra))
-    opts.gumbel_override = [gumbel_for_db(REF)]
     return run_all(opts)
 
 
@@ -74,7 +72,6 @@ def test_interleaved_paired_single_file(tmp_path):
     opts = parse_args(["-ref", REF, "-reads", str(reads), "-paired",
                        "-paired_in", "-fastx", "-other",
                        "-workdir", str(wd)])
-    opts.gumbel_override = [gumbel_for_db(REF)]
     ctx = run_all(opts)
     assert opts.is_paired
     hits = [s.is_hit for s in ctx.states]
