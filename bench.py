@@ -155,14 +155,16 @@ def main():
 
     # Warmup: prime JIT shapes on a small slice with throwaway states.
     _state["stage"] = "warmup"
+    from sortmerna_tpu.util import TIMERS, timers_enabled, timers_report
     warm_n = min(512, len(ctx.reads))
     t = time.time()
     run_align(slice_ctx(0, warm_n, fresh=True), sw_backend=backend)
     log("warmup (%d reads) in %.1fs" % (warm_n, time.time() - t))
+    if timers_enabled():
+        log("warmup timers: %s" % timers_report())
 
     # Chunked measurement: update partials after every chunk.
     _state["stage"] = "measure"
-    from sortmerna_tpu.util import TIMERS, timers_enabled, timers_report
     TIMERS.clear()
     n = len(ctx.reads)
     done = 0

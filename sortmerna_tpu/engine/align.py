@@ -120,6 +120,7 @@ def traverse_strand(
     readstats: Readstats,
     is_last_strand: bool,
     native_engine=None,
+    batch: Optional["ReadBatch"] = None,
 ) -> None:
     """One strand of one index part for a batch of reads
     (traverse, paralleltraversal.cpp:81-297).
@@ -132,14 +133,12 @@ def traverse_strand(
 
     # concatenated 03 sequences + packed 9-mers at every position
     n_all = len(reads)
-    offs = np.zeros(n_all + 1, dtype=np.int64)
-    lens = np.zeros(n_all, dtype=np.int64)
-    for i in range(n_all):
-        lens[i] = len(reads[i])
-        offs[i + 1] = offs[i] + lens[i]
-    concat = np.concatenate(
-        [reads[i].strand03(forward) for i in range(n_all)]) \
-        if n_all else np.zeros(0, np.uint8)
+    if batch is None:
+        from .read import ReadBatch
+        batch = ReadBatch(reads)
+    offs = batch.offs
+    lens = batch.lens
+    concat = batch.concat03(forward)
     p9all = pack9_all(concat)      # invalid at read boundaries; only
     #                                in-read window starts are indexed
     searched = np.zeros(offs[-1], dtype=bool)
@@ -278,11 +277,15 @@ def align_part(
     backend,
     readstats: Readstats,
     use_native: bool = True,
+    batch: Optional["ReadBatch"] = None,
 ) -> None:
     """Process one index part for a batch of reads: both strands
     (align2, processor.cpp:128-147)."""
     searcher = SeedSearcher(part, opts.minoccur, opts.is_full_search,
                             threads=opts.threads)
+    if batch is None:
+        from .read import ReadBatch
+        batch = ReadBatch(reads)
 
     single = opts.is_forward ^ opts.is_reverse
     num_strands = 1 if single else 2
@@ -300,9 +303,9 @@ def align_part(
     for count in range(num_strands):
         forward = not ((single and opts.is_reverse) or count == 1)
         is_last = single or count == 1
-        ordinals = [i for i in range(len(reads))
-                    if not states[i].is_done
-                    and len(reads[i]) >= ctx.lnwin]
+        long_enough = batch.lens >= ctx.lnwin
+        ordinals = [i for i in range(batch.n)
+                    if not states[i].is_done and long_enough[i]]
         if not ordinals:
             break
         engine = None
@@ -311,11 +314,12 @@ def align_part(
             from .native_driver import NativeCandidateEngine
             mat = scoring_matrix_5x5(opts.match, opts.mismatch,
                                      opts.score_n)
-            engine = NativeCandidateEngine(ctx, opts, reads, forward, mat)
+            engine = NativeCandidateEngine(ctx, opts, reads, forward, mat,
+                                           batch=batch)
         try:
             traverse_strand(reads, states, ordinals, forward, searcher,
                             ctx, opts, skiplengths, backend, readstats,
-                            is_last, native_engine=engine)
+                            is_last, native_engine=engine, batch=batch)
         finally:
             if engine is not None:
                 engine.finalize_stats(readstats)

@@ -22,7 +22,7 @@ from .read import Alignment, ReadSeq, ReadState
 class NativeCandidateEngine:
     def __init__(self, ctx: PartContext, opts: Opts,
                  reads: List[ReadSeq], forward: bool,
-                 mat: np.ndarray):
+                 mat: np.ndarray, batch=None):
         self.lib = native.get_lib()
         assert self.lib is not None
         self.ctx = ctx
@@ -30,22 +30,25 @@ class NativeCandidateEngine:
         self.n_reads = len(reads)
         self._forward = forward
 
-        # concatenated 04 buffers (kept alive for the engine's lifetime)
-        self.refs_off = np.zeros(len(ctx.ref_seqs) + 1, dtype=np.int64)
-        for i, s in enumerate(ctx.ref_seqs):
-            self.refs_off[i + 1] = self.refs_off[i] + len(s)
-        self.refs_data = (np.concatenate(
-            [np.asarray(s, np.uint8) for s in ctx.ref_seqs])
-            if ctx.ref_seqs else np.zeros(0, np.uint8))
+        # concatenated 04 buffers (kept alive for the engine's lifetime);
+        # cached on the PartContext: identical for both strands
+        cached = getattr(ctx, "_refs_concat", None)
+        if cached is None:
+            refs_off = np.zeros(len(ctx.ref_seqs) + 1, dtype=np.int64)
+            for i, s in enumerate(ctx.ref_seqs):
+                refs_off[i + 1] = refs_off[i] + len(s)
+            refs_data = (np.concatenate(
+                [np.asarray(s, np.uint8) for s in ctx.ref_seqs])
+                if ctx.ref_seqs else np.zeros(0, np.uint8))
+            cached = (refs_data, refs_off)
+            ctx._refs_concat = cached
+        self.refs_data, self.refs_off = cached
 
-        self.reads_off = np.zeros(len(reads) + 1, dtype=np.int64)
-        bufs = []
-        for i, r in enumerate(reads):
-            b = np.asarray(r.strand04(forward), np.uint8)
-            bufs.append(b)
-            self.reads_off[i + 1] = self.reads_off[i] + len(b)
-        self.reads_data = np.concatenate(bufs) if bufs else \
-            np.zeros(0, np.uint8)
+        if batch is None:
+            from .read import ReadBatch
+            batch = ReadBatch(reads)
+        self.reads_off = batch.offs
+        self.reads_data = np.ascontiguousarray(batch.concat04(forward))
 
         self.pos_offsets = np.ascontiguousarray(ctx.pos_offsets, np.int64)
         self.pos_seq = np.ascontiguousarray(ctx.pos_seq, np.uint32)

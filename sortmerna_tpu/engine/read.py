@@ -152,3 +152,83 @@ class ReadSeq:
 
     def strand04(self, forward: bool) -> np.ndarray:
         return self.fwd04 if forward else self.rev04
+
+
+class ReadBatch:
+    """Packed view of a batch of reads: one concatenated encoding buffer
+    per (encoding, strand), built with bulk array ops instead of 4 x N
+    per-read property calls.  The hot align path (traverse_strand +
+    the native candidate engine) reads exclusively from here; ReadSeq
+    objects stay authoritative for reports/REPL.
+
+    Encodings follow read.cpp: 03 has ambiguous chars as 0 (positions
+    kept), 04 as 4; the reverse strand is the complement of the reversed
+    03 string with ambiguous positions mirrored (revIntStr read.cpp:350,
+    flip34 read.cpp:379)."""
+
+    __slots__ = ("n", "lens", "offs", "fwd03", "amb",
+                 "_rev03", "_fwd04", "_rev04", "_revperm")
+
+    def __init__(self, reads: List["ReadSeq"]):
+        n = len(reads)
+        lens = np.fromiter((len(r) for r in reads), np.int64, count=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        joined = "".join(r.sequence for r in reads)
+        raw = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        self._init_from(raw, offs, lens)
+
+    @classmethod
+    def from_packed(cls, data_u8: np.ndarray, offs: np.ndarray
+                    ) -> "ReadBatch":
+        """Build directly from a packed (ascii bytes, offsets) slice
+        (io/feed.py ReadFeed.packed_slice) -- no per-read objects."""
+        self = object.__new__(cls)
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
+        self._init_from(np.asarray(data_u8), offs, np.diff(offs))
+        return self
+
+    def _init_from(self, raw: np.ndarray, offs: np.ndarray,
+                   lens: np.ndarray) -> None:
+        self.n = len(offs) - 1
+        self.lens = lens
+        self.offs = offs
+        enc = NT_TABLE[raw]
+        self.amb = np.flatnonzero(enc == 4)
+        enc[self.amb] = 0
+        self.fwd03 = enc
+        self._rev03 = None
+        self._fwd04 = None
+        self._rev04 = None
+        self._revperm = None
+
+    @property
+    def revperm(self) -> np.ndarray:
+        """Permutation reversing every read segment in place:
+        perm[g] = offs[i] + offs[i+1] - 1 - g for g in read i."""
+        if self._revperm is None:
+            ends = np.repeat(self.offs[:-1] + self.offs[1:] - 1, self.lens)
+            self._revperm = ends - np.arange(int(self.offs[-1]),
+                                             dtype=np.int64)
+        return self._revperm
+
+    def concat03(self, forward: bool) -> np.ndarray:
+        if forward:
+            return self.fwd03
+        if self._rev03 is None:
+            self._rev03 = COMPLEMENT4[self.fwd03[self.revperm]]
+        return self._rev03
+
+    def concat04(self, forward: bool) -> np.ndarray:
+        if forward:
+            if self._fwd04 is None:
+                f = self.fwd03.copy()
+                f[self.amb] = 4
+                self._fwd04 = f
+            return self._fwd04
+        if self._rev04 is None:
+            r = self.concat03(False).copy()
+            if self.amb.size:
+                r[self.revperm[self.amb]] = 4
+            self._rev04 = r
+        return self._rev04

@@ -54,23 +54,33 @@ def load_reads(opts: RunOptions) -> List[ReadSeq]:
 @dataclass
 class RunContext:
     opts: RunOptions
-    reads: List[ReadSeq]
+    reads: List[ReadSeq]            # or io.feed.LazyReads
     states: List[ReadState]
     readstats: Readstats
     indexes: List[BuiltIndex]
     refstats: Refstats
     engine_opts: Opts
+    feed: object = None             # io.feed.ReadFeed when streaming
+    _tmp: object = None             # holds a TemporaryDirectory alive
 
 
 def prepare(opts: RunOptions) -> RunContext:
     opts.finalize()
-    reads = load_reads(opts)
+    from ..io.feed import LazyReads, ReadFeed
+    tmp = None
+    readb = opts.readb_dir
+    if not readb:
+        import tempfile
+        tmp = tempfile.TemporaryDirectory(prefix="smr_readb_")
+        readb = tmp.name
+    feed = ReadFeed(opts.reads_files, readb,
+                    threads=max(1, opts.num_proc_thread))
+    reads = LazyReads(feed)
     readstats = Readstats(len(opts.ref_files))
-    readstats.all_reads_count = len(reads)
-    lens = [len(r) for r in reads]
-    readstats.all_reads_len = int(sum(lens))
-    readstats.min_read_len = int(min(lens)) if lens else 0
-    readstats.max_read_len = int(max(lens)) if lens else 0
+    readstats.all_reads_count = feed.n
+    readstats.all_reads_len = feed.total_len
+    readstats.min_read_len = feed.min_len
+    readstats.max_read_len = feed.max_len
 
     from ..index.artifact import build_or_load
     indexes = [build_or_load(p, opts.idx_dir or None, opts.interval,
@@ -107,7 +117,7 @@ def prepare(opts: RunOptions) -> RunContext:
         threads=max(1, opts.num_proc_thread),
     )
     return RunContext(opts, reads, states, readstats, indexes, refstats,
-                      eopts)
+                      eopts, feed=feed, _tmp=tmp)
 
 
 def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
@@ -121,6 +131,27 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
             sw_backend = JaxSwBackend(mat, opts.gap_open, opts.gap_ext)
         except Exception:
             sw_backend = NumpySwBackend(mat, opts.gap_open, opts.gap_ext)
+
+    from .read import ReadBatch
+
+    n_reads = len(ctx.reads)
+
+    def make_batch(b0: int) -> ReadBatch:
+        hi = min(b0 + batch_size, n_reads)
+        if ctx.feed is not None:
+            return ReadBatch.from_packed(*ctx.feed.packed_slice(b0, hi))
+        return ReadBatch(ctx.reads[b0:hi])
+
+    # batches are cached across parts/strands when they fit comfortably;
+    # larger runs stream (re-packing per part is cheap vs align time)
+    starts = list(range(0, n_reads, batch_size))
+    cache_all = n_reads <= batch_size * 2
+    packed_cache = {b0: make_batch(b0) for b0 in starts} if cache_all \
+        else None
+
+    def iter_batches():
+        for b0 in starts:
+            yield b0, (packed_cache[b0] if cache_all else make_batch(b0))
 
     n_idx = len(ctx.indexes)
     for idx_num, built in enumerate(ctx.indexes):
@@ -140,15 +171,14 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
                 is_last_index=(idx_num == n_idx - 1),
                 is_last_part=(part_num == len(built.parts) - 1),
             )
-            for b0 in range(0, len(ctx.reads), batch_size):
+            for b0, rbatch in iter_batches():
                 batch = ctx.reads[b0:b0 + batch_size]
                 bstates = ctx.states[b0:b0 + batch_size]
                 # too-short accounting (processor.cpp:109-114)
-                for r, s in zip(batch, bstates):
-                    if len(r) < pctx.lnwin:
-                        ctx.readstats.num_short += 1
+                ctx.readstats.num_short += int(
+                    (rbatch.lens < pctx.lnwin).sum())
                 align_part(batch, bstates, part, pctx, ctx.engine_opts,
-                           skips, sw_backend, ctx.readstats)
+                           skips, sw_backend, ctx.readstats, batch=rbatch)
     materialize_cigars(ctx)
 
 
