@@ -326,13 +326,47 @@ def align_part(
                 engine.close()
 
 
-def load_part_refs(fasta_path: str, first_seq: int, numseq_part: int
+def load_part_refs(fasta_path: str, first_seq: int, numseq_part: int,
+                   start_byte: Optional[int] = None
                    ) -> Tuple[List[np.ndarray], List[str]]:
     """References::load equivalent: the part's sequences in the alignment
-    encoding (NT_TABLE: ambiguous -> 4; references.cpp:60-160)."""
-    from ..io.fastx import iter_fastx
+    encoding (NT_TABLE: ambiguous -> 4; references.cpp:60-160).
+
+    With ``start_byte`` (Part.start_part from the index artifact) the
+    file is seeked straight to the part like the reference does
+    (references.cpp:60) instead of scanning records from the top."""
     seqs: List[np.ndarray] = []
     headers: List[str] = []
+    if start_byte is not None:
+        with open(fasta_path, "rt") as f:
+            f.seek(start_byte)
+            hdr = None
+            chunks: List[str] = []
+
+            def flush():
+                raw = np.frombuffer(
+                    "".join(chunks).replace(" ", "").encode("ascii"),
+                    dtype=np.uint8)
+                seqs.append(NT_TABLE[raw])
+                headers.append(hdr)
+
+            for line in f:
+                line = line.rstrip("\r\n")
+                if not line:
+                    continue
+                if line[0] == ">":
+                    if hdr is not None:
+                        flush()
+                        if len(seqs) == numseq_part:
+                            return seqs, headers
+                    hdr = line[1:]
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if hdr is not None and len(seqs) < numseq_part:
+                flush()
+        return seqs, headers
+    from ..io.fastx import iter_fastx
     for i, rec in enumerate(iter_fastx(fasta_path)):
         if i < first_seq:
             continue

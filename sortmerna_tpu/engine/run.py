@@ -120,10 +120,25 @@ def prepare(opts: RunOptions) -> RunContext:
                       eopts, feed=feed, _tmp=tmp)
 
 
-def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
-              ) -> None:
-    """The align task (processor.cpp:173-285)."""
+def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000,
+              journal=None) -> None:
+    """The align task (processor.cpp:173-285).
+
+    When ``journal`` (state.AlignJournal) is given, every completed
+    (index, part, batch) unit is checkpointed so a killed run resumes
+    where it stopped (processor.cpp:117-126,154 semantics)."""
     opts = ctx.opts
+    done_units = set()
+    if journal is not None and journal.exists():
+        meta = journal.meta() or {}
+        if meta.get("n_reads") != len(ctx.reads):
+            raise SystemExit(
+                "align journal in %r was written for a different input "
+                "(%s reads vs %d); clear the KVDB directory to start "
+                "fresh" % (os.path.dirname(journal.path),
+                           meta.get("n_reads"), len(ctx.reads)))
+        batch_size = meta["batch_size"]   # unit keys must line up
+        done_units = journal.restore(ctx.states, ctx.readstats)
     if sw_backend is None:
         mat = scoring_matrix_5x5(opts.match, opts.mismatch, opts.score_n)
         try:
@@ -142,6 +157,9 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
             return ReadBatch.from_packed(*ctx.feed.packed_slice(b0, hi))
         return ReadBatch(ctx.reads[b0:hi])
 
+    if journal is not None:
+        journal.begin(batch_size, n_reads)
+
     # batches are cached across parts/strands when they fit comfortably;
     # larger runs stream (re-packing per part is cheap vs align time)
     starts = list(range(0, n_reads, batch_size))
@@ -158,7 +176,8 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
         skips = opts.skiplengths[idx_num]
         for part_num, part in enumerate(built.parts):
             ref_seqs, ref_headers = load_part_refs(
-                opts.ref_files[idx_num], part.first_seq, part.numseq_part)
+                opts.ref_files[idx_num], part.first_seq, part.numseq_part,
+                start_byte=part.start_part)
             pctx = PartContext(
                 index_num=idx_num,
                 part_num=part_num,
@@ -172,6 +191,8 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
                 is_last_part=(part_num == len(built.parts) - 1),
             )
             for b0, rbatch in iter_batches():
+                if (idx_num, part_num, b0) in done_units:
+                    continue
                 batch = ctx.reads[b0:b0 + batch_size]
                 bstates = ctx.states[b0:b0 + batch_size]
                 # too-short accounting (processor.cpp:109-114)
@@ -179,6 +200,9 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000
                     (rbatch.lens < pctx.lnwin).sum())
                 align_part(batch, bstates, part, pctx, ctx.engine_opts,
                            skips, sw_backend, ctx.readstats, batch=rbatch)
+                if journal is not None:
+                    journal.append(idx_num, part_num, b0, bstates,
+                                   ctx.readstats)
     materialize_cigars(ctx)
 
 
@@ -217,7 +241,7 @@ def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):
     """(ref_seqs, ref_headers) for a report pass."""
     part = ctx.indexes[idx_num].parts[part_num]
     return load_part_refs(ctx.opts.ref_files[idx_num], part.first_seq,
-                          part.numseq_part)
+                          part.numseq_part, start_byte=part.start_part)
 
 
 # ---------------------------------------------------------------------------
@@ -331,16 +355,29 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
             if f:
                 f.close()
 
-def run_all(opts: RunOptions, sw_backend=None) -> RunContext:
+def run_all(opts: RunOptions, sw_backend=None,
+            batch_size: int = 100000) -> RunContext:
     """Full task dispatch (main.cpp:83-112)."""
     from ..reports.summary import write_summary
-    from .state import StateDB, readfiles_key
+    from .state import AlignJournal, StateDB, readfiles_key
 
     ctx = prepare(opts)
     task = opts.task
     otu_map: Dict[str, list] = {}
 
     db = StateDB(opts.kvdb_dir) if opts.kvdb_dir else None
+    journal = AlignJournal(opts.kvdb_dir) if opts.kvdb_dir else None
+
+    if db is not None and task in (0, 3, 4) and not db.is_empty() \
+            and not (journal and journal.exists()):
+        # finished state present and no in-flight journal: a fresh align
+        # would silently mix runs -- refuse like the reference
+        # (options.cpp:1313-1326 validate_kvdbdir)
+        raise SystemExit(
+            "KVDB directory %r is not empty. Please ensure it is empty "
+            "prior to running an alignment task (an interrupted run "
+            "with its journal present resumes automatically)."
+            % opts.kvdb_dir)
 
     if db is not None and task in (1, 2):
         # restore states from a previous align task
@@ -356,11 +393,13 @@ def run_all(opts: RunOptions, sw_backend=None) -> RunContext:
                     setattr(ctx.readstats, k, v)
 
     if task in (0, 3, 4):
-        run_align(ctx, sw_backend=sw_backend)
+        run_align(ctx, sw_backend=sw_backend, journal=journal,
+                  batch_size=batch_size)
         if db is not None:
             db.save_states([r.id for r in ctx.reads], ctx.states)
             db.save_readstats(readfiles_key(opts.reads_files),
                               ctx.readstats)
+            journal.remove()    # subsumed by the consolidated state
 
     if task in (1, 3, 4):
         otu_map = run_postprocess(ctx)
