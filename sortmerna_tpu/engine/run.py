@@ -153,8 +153,11 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000,
 
     def make_batch(b0: int) -> ReadBatch:
         hi = min(b0 + batch_size, n_reads)
-        if ctx.feed is not None:
-            return ReadBatch.from_packed(*ctx.feed.packed_slice(b0, hi))
+        # LazyReads views (incl. shard slices) translate to global feed
+        # coordinates themselves
+        ps = getattr(ctx.reads, "packed_slice", None)
+        if ps is not None:
+            return ReadBatch.from_packed(*ps(b0, hi))
         return ReadBatch(ctx.reads[b0:hi])
 
     if journal is not None:

@@ -451,6 +451,11 @@ class LazyReads(Sequence):
     def __len__(self) -> int:
         return self.hi - self.lo
 
+    def packed_slice(self, lo: int, hi: int):
+        """Packed (bytes, offsets) of view-relative range [lo, hi)."""
+        return self.feed.packed_slice(self.lo + lo,
+                                      min(self.lo + hi, self.hi))
+
     def __getitem__(self, i):
         n = self.hi - self.lo
         if isinstance(i, slice):

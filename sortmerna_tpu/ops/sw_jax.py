@@ -275,6 +275,12 @@ class JaxSwBackend:
             if native.have_native():
                 self.native = native
 
+    def _device_call(self, buf: np.ndarray, B: int, lq: int, lr: int):
+        """One fused SW dispatch; overridden by parallel.dist.MeshSwBackend
+        to shard the batch dim over a device mesh."""
+        return sw_fused_call(jnp.asarray(buf), self.mat, B, lq, lr,
+                             self.gap_open, self.gap_ext)
+
     def _traceback_many(self, refs, queries, scores, bands):
         if self.native is not None:
             return self.native.traceback_batch(
@@ -366,8 +372,7 @@ class JaxSwBackend:
             ints[:len(ba), 2] = minimal[ba]
             buf[:, lq + lr:] = ints.view(np.uint8).reshape(B, 12)
             with timed(f"sw_submit[{B}x{lq}x{lr}]"):
-                dev = sw_fused_call(jnp.asarray(buf), self.mat, B, lq, lr,
-                                    self.gap_open, self.gap_ext)
+                dev = self._device_call(buf, B, lq, lr)
             pending.append((ba, dev))
         # ONE download per wave: block outputs concatenate on device, so
         # the per-fetch link round-trip (~30ms tunneled) is paid once.

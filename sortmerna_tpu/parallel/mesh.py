@@ -32,6 +32,10 @@ from ..ops.sw_jax import sw_score_batch
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # the default platform is short (e.g. one tunneled TPU while
+            # a virtual multi-device CPU platform is forced for tests)
+            devices = jax.devices("cpu")
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=("dp",))
