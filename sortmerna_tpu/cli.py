@@ -20,7 +20,8 @@ VERSION = "5.0.0-tpu.1"
 BOOL_OPTS = {
     "fastx", "sam", "SQ", "log", "no-best", "print_all_reads", "paired",
     "paired_in", "paired_out", "out2", "sout", "de_novo_otu", "otu_map",
-    "full_search", "pid", "F", "R", "v", "h", "version", "cmd",
+    "full_search", "device_probe", "pid", "F", "R", "v", "h", "version",
+    "cmd",
     "dbg_put_db", "align", "filter", "score_split", "other",
 }
 VALUE_OPTS = {
@@ -203,6 +204,8 @@ def _apply(opts: RunOptions, name: str, val: Optional[str], raw: dict):
         opts.num_seeds = int(val)
     elif name == "full_search":
         opts.is_full_search = b
+    elif name == "device_probe":
+        opts.device_probe = b
     elif name == "pid":
         opts.is_pid = b
     elif name == "task":

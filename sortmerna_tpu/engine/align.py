@@ -107,6 +107,28 @@ def run_candidate_waves(gens: List[Tuple[int, object]], backend
     return search_flags
 
 
+def _make_searcher(part, opts: Opts):
+    """SeedSearcher for this part; the device prober when requested
+    (--device_probe / SMR_DEVICE_PROBE), cached on the part so the HBM
+    tables upload once per part and are reused across strands/batches."""
+    if getattr(opts, "device_probe", False):
+        key = (opts.minoccur, opts.is_full_search)
+        cached = getattr(part, "_dev_searcher", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            from ..ops.seed_search import DeviceSeedSearcher
+            s = DeviceSeedSearcher(part, opts.minoccur,
+                                   opts.is_full_search)
+            part._dev_searcher = (key, s)
+            return s
+        except Exception as e:  # pragma: no cover - index shape fallback
+            from ..util import WARN
+            WARN(f"device probe unavailable ({e}); using host prober")
+    return SeedSearcher(part, opts.minoccur, opts.is_full_search,
+                        threads=opts.threads)
+
+
 def traverse_strand(
     reads: List[ReadSeq],
     states: List[ReadState],
@@ -281,8 +303,7 @@ def align_part(
 ) -> None:
     """Process one index part for a batch of reads: both strands
     (align2, processor.cpp:128-147)."""
-    searcher = SeedSearcher(part, opts.minoccur, opts.is_full_search,
-                            threads=opts.threads)
+    searcher = _make_searcher(part, opts)
     if batch is None:
         from .read import ReadBatch
         batch = ReadBatch(reads)

@@ -63,6 +63,7 @@ class Opts:
     is_reverse: bool = False
     minoccur: int = 0
     threads: int = 1        # host threads (--threads, processor.cpp:248)
+    device_probe: bool = False   # d<=1 probe on device (ops/seed_search)
 
 
 class Readstats:

@@ -115,6 +115,8 @@ def prepare(opts: RunOptions) -> RunContext:
         is_reverse=opts.is_reverse,
         minoccur=opts.minoccur,
         threads=max(1, opts.num_proc_thread),
+        device_probe=bool(opts.device_probe
+                          or os.environ.get("SMR_DEVICE_PROBE")),
     )
     return RunContext(opts, reads, states, readstats, indexes, refstats,
                       eopts, feed=feed, _tmp=tmp)

@@ -30,6 +30,9 @@ class RunOptions:
     is_min_lis: bool = False
     is_num_alignments: bool = False
     is_full_search: bool = False
+    # TPU-native extension: run the d<=1 seed probe on device
+    # (ops/seed_search.py) instead of the host C++ kernel
+    device_probe: bool = False
     is_forward: bool = False
     is_reverse: bool = False
     num_alignments: int = 1
