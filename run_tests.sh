@@ -1,0 +1,10 @@
+#!/bin/sh
+# Run the test suite WITHOUT claiming the tunneled TPU.
+#
+# The axon plugin registers (and claims the remote chip) at interpreter
+# startup via a PYTHONPATH sitecustomize that reads PALLAS_AXON_POOL_IPS
+# -- in-process env changes (tests/conftest.py) come too late.  The var
+# must be emptied in the environment BEFORE python starts, or any pytest
+# run starves a concurrent/subsequent real-TPU bench for ~15 min.
+exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python -m pytest "$@"

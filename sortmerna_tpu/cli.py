@@ -168,13 +168,20 @@ def _apply(opts: RunOptions, name: str, val: Optional[str], raw: dict):
     elif name == "R":
         opts.is_reverse = b
     elif name == "L":
-        v = int(val)
-        if v != 18:
-            # the closed-form d<=1 probe tables are specialized to L=18
-            # (the reference default); other seed lengths are a TODO
-            raise CliError(
-                "-L: only the default seed length 18 is supported")
-        opts.seed_win_len = v
+        # reference behavior (options.cpp opt_L): a positive even integer
+        # in 8..26; anything else warns and keeps the default
+        try:
+            v = int(val)
+        except ValueError:
+            v = -1
+        if v <= 0 or v % 2 == 1 or v < 8 or v > 26:
+            print("WARNING: Option 'L' takes a Positive Even integer "
+                  "between 8 and 26 inclusive e.g. 10, 12, 14, .. , 20. "
+                  f"Provided value: {val}. "
+                  f"Default will be used: {opts.seed_win_len}",
+                  file=sys.stderr)
+        else:
+            opts.seed_win_len = v
     elif name == "m":
         opts.max_file_size = float(val)
     elif name == "N":

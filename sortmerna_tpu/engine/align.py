@@ -67,14 +67,14 @@ class _TravState:
     searched: Optional[np.ndarray] = None
 
 
-def pack9_all(seq03: np.ndarray) -> np.ndarray:
-    """Packed 9-mers at every start position 0..len-9 (MSB first)."""
-    n = len(seq03) - PARTIAL_WIN + 1
+def pack9_all(seq03: np.ndarray, pw: int = PARTIAL_WIN) -> np.ndarray:
+    """Packed pw-mers at every start position 0..len-pw (MSB first)."""
+    n = len(seq03) - pw + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
     arr = np.ascontiguousarray(seq03, dtype=np.int64)
     acc = np.zeros(n, dtype=np.int64)
-    for k in range(PARTIAL_WIN):
+    for k in range(pw):
         np.left_shift(acc, 2, out=acc)
         np.add(acc, arr[k:k + n], out=acc)
     return acc
@@ -161,7 +161,8 @@ def traverse_strand(
     offs = batch.offs
     lens = batch.lens
     concat = batch.concat03(forward)
-    p9all = pack9_all(concat)      # invalid at read boundaries; only
+    pw = lnwin // 2
+    p9all = pack9_all(concat, pw)  # invalid at read boundaries; only
     #                                in-read window starts are indexed
     searched = np.zeros(offs[-1], dtype=bool)
 
@@ -191,7 +192,7 @@ def traverse_strand(
 
         if len(probe_read):
             w1 = p9all[gsel]
-            w2 = p9all[gsel + PARTIAL_WIN]
+            w2 = p9all[gsel + pw]
             from ..util import timed
             with timed("probe"):
                 hw, hid = searcher.search_windows(w1, w2)

@@ -175,18 +175,25 @@ class NativeCandidateEngine:
 
     def _collect(self, items, states, readstats, base_aligned):
         lib = self.lib
-        # collect search flags + state updates
+        # collect search flags + state updates (one batched export)
         out: Dict[int, bool] = {}
-        st6 = np.zeros(6, np.int32)
-        for ord_, _ in items:
-            lib.cand_read_state(self.h, ord_, st6.ctypes.data)
-            out[ord_] = bool(st6[0])
+        n_items = len(items)
+        ords = np.fromiter((o for o, _ in items), np.int32, count=n_items)
+        st6 = np.zeros((n_items, 6), np.int32)
+        if n_items:
+            lib.cand_read_states_batch(self.h, ords.ctypes.data, n_items,
+                                       st6.ctypes.data)
+        st6l = st6.tolist()
+        for i in range(n_items):
+            ord_ = int(ords[i])
+            row = st6l[i]
+            out[ord_] = bool(row[0])
             st = states[ord_]
-            st.best = int(st6[1])
-            st.max_sw_count = int(st6[2])
-            st.is_hit = bool(st6[3])
-            st.min_index = int(st6[4])
-            st.max_index = int(st6[5])
+            st.best = row[1]
+            st.max_sw_count = row[2]
+            st.is_hit = bool(row[3])
+            st.min_index = row[4]
+            st.max_index = row[5]
 
         # apply actions (CIGARs deferred: copy the traceback windows now,
         # materialize in one batched native call for survivors)

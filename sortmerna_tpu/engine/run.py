@@ -84,7 +84,8 @@ def prepare(opts: RunOptions) -> RunContext:
 
     from ..index.artifact import build_or_load
     indexes = [build_or_load(p, opts.idx_dir or None, opts.interval,
-                             opts.max_pos, opts.max_file_size)
+                             opts.max_pos, opts.max_file_size,
+                             seed_win_len=opts.seed_win_len)
                for p in opts.ref_files]
 
     refstats = compute_refstats(

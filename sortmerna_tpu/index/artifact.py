@@ -31,7 +31,7 @@ def index_key(fasta_path: str, interval: int, max_pos: int,
     h = hashlib.sha1()
     h.update(str(os.path.abspath(fasta_path)).encode())
     h.update(f"{st.st_size}:{st.st_mtime_ns}:{interval}:{max_pos}:"
-             f"{max_file_size_mb}:{seed_win_len}:v2".encode())
+             f"{max_file_size_mb}:{seed_win_len}:v3".encode())
     return h.hexdigest()[:16]
 
 
@@ -90,19 +90,23 @@ def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:
         part = IndexPart(**kw)
         (part.start_part, part.seq_part_size, part.numseq_part,
          part.first_seq) = meta["parts_meta"][i]
+        part.seed_win_len = meta["seed_win_len"]
         parts.append(part)
     return BuiltIndex(stats=stats, parts=parts)
 
 
 def build_or_load(fasta_path: str, idx_dir: Optional[str],
                   interval: int = 1, max_pos: int = 10000,
-                  max_file_size_mb: float = 3072.0) -> BuiltIndex:
+                  max_file_size_mb: float = 3072.0,
+                  seed_win_len: int = 18) -> BuiltIndex:
     if idx_dir:
-        key = index_key(fasta_path, interval, max_pos, max_file_size_mb)
+        key = index_key(fasta_path, interval, max_pos, max_file_size_mb,
+                        seed_win_len)
         cached = load_index(idx_dir, key)
         if cached is not None:
             return cached
-    built = build_index(fasta_path, interval, max_pos, max_file_size_mb)
+    built = build_index(fasta_path, interval, max_pos, max_file_size_mb,
+                        seed_win_len=seed_win_len)
     if idx_dir:
         save_index(built, idx_dir, key)
     return built

@@ -56,13 +56,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..constants import MAP_NT, PARTIAL_WIN, PREAD, SEED_WIN_LEN
+from ..constants import MAP_NT, SEED_WIN_LEN
 from ..io.fastx import iter_fastx
 from .hashtab import build_hash_u64
-
-KMER9_SPACE = 1 << (2 * PARTIAL_WIN)   # 2^18
-MASK34 = (1 << 34) - 1
-MASK36 = (1 << 36) - 1
 
 
 @dataclass
@@ -110,6 +106,7 @@ class IndexPart:
     seq_part_size: int = 0     # bytes of raw reference in the part
     numseq_part: int = 0       # number of sequences in the part
     first_seq: int = 0         # global ordinal of the part's first sequence
+    seed_win_len: int = 18     # L; all bit-widths derive from pw = L/2
 
     @property
     def num_ids(self) -> int:
@@ -153,12 +150,12 @@ def pack_2bit(enc: np.ndarray, starts: np.ndarray, length: int,
     return out
 
 
-def _estimated_seq_mem_mb(seq_len: int) -> float:
+def _estimated_seq_mem_mb(seq_len: int, pread: int) -> float:
     """Memory estimate per sequence driving part splits (indexdb.cpp:1384)."""
-    return (seq_len - PREAD + 1) * 9.5e-6
+    return (seq_len - pread + 1) * 9.5e-6
 
 
-def scan_reference(fasta_path: str):
+def scan_reference(fasta_path: str, pread: int = 19):
     """Pass 0: headers, lengths, background freqs (indexdb.cpp:1186-1263).
 
     Returns (seq_metas, background_counts[4], full_len, seq_byte_spans,
@@ -195,11 +192,11 @@ def scan_reference(fasta_path: str):
         seq_bytes = rec[nl + 1:].replace(b"\n", b"").replace(b"\r", b"") \
                                 .replace(b" ", b"")
         seq_len = len(seq_bytes)
-        if seq_len < PREAD:
+        if seq_len < pread:
             raise ValueError(
                 f"At least one of your sequences is shorter than the seed "
-                f"length {PREAD}, please filter out all sequences shorter "
-                f"than {PREAD} to continue index construction.")
+                f"length {pread}, please filter out all sequences shorter "
+                f"than {pread} to continue index construction.")
         raw = np.frombuffer(seq_bytes, dtype=np.uint8)
         # background freq counts every non-'N' char via map_nt
         # (indexdb.cpp:1241-1244)
@@ -213,8 +210,8 @@ def scan_reference(fasta_path: str):
     return metas, bg, full_len, spans, enc_seqs
 
 
-def _part_boundaries(seq_lens: List[int], max_file_size_mb: float
-                     ) -> List[List[int]]:
+def _part_boundaries(seq_lens: List[int], max_file_size_mb: float,
+                     pread: int = 19) -> List[List[int]]:
     """Split sequences into parts by the memory-budget rule
     (indexdb.cpp:1384-1426).  Sequences too large on their own are skipped
     with a warning.  Returns a list of lists of sequence ordinals."""
@@ -222,7 +219,7 @@ def _part_boundaries(seq_lens: List[int], max_file_size_mb: float
     cur: List[int] = []
     size = 0.0
     for i, ln in enumerate(seq_lens):
-        est = _estimated_seq_mem_mb(ln)
+        est = _estimated_seq_mem_mb(ln, pread)
         if est > max_file_size_mb:
             import sys
             print(f"  WARNING: the index for sequence #{i} will not fit into "
@@ -240,22 +237,29 @@ def _part_boundaries(seq_lens: List[int], max_file_size_mb: float
     return parts
 
 
-def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int
-               ) -> dict:
+def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int,
+               pw: int = 9) -> dict:
     """Core numpy pass over one part's sequences.
 
-    Produces the sorted unique-18-mer id space, positions CSR, 9-mer counts
-    and the F/R acceptance source arrays.
+    Produces the sorted unique-L-mer id space, positions CSR, half-mer
+    counts and the F/R acceptance source arrays.  ``pw`` = L/2; window
+    char indices below are written for the default L=18 (c0..c18) but
+    all widths derive from pw.
     """
-    win_k19 = []        # packed c0..c18 (38 bits) per window
+    pread = 2 * pw + 1
+    half_space = 1 << (2 * pw)
+    mask_half = np.uint64((1 << (2 * pw)) - 1)
+    mask_rkey = np.uint64((1 << (4 * pw)) - 1)          # c1..c18
+    mask_rpref = np.uint64((1 << (4 * pw - 2)) - 1)     # c2..c18
+    win_k19 = []        # packed c0..c18 (2L+2 bits) per window
     win_seq = []
     win_pos = []
 
     for si, enc in enumerate(enc_seqs):
         L = len(enc)
-        numwin = (L - PREAD + interval) // interval
+        numwin = (L - pread + interval) // interval
         starts = (np.arange(numwin, dtype=np.int64) * interval)
-        win_k19.append(pack_2bit(enc, starts, PREAD))
+        win_k19.append(pack_2bit(enc, starts, pread))
         win_seq.append(np.full(numwin, si, dtype=np.uint32))
         win_pos.append(starts.astype(np.uint32))
 
@@ -264,9 +268,9 @@ def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int
     pos_all = np.concatenate(win_pos)
     # derived packings: 18-mer = c0..c17, rkey = c1..c18, 9-mer halves
     kmer18 = k19_all >> np.uint64(2)
-    rkey_all = k19_all & np.uint64(MASK36)
-    keyf_all = (kmer18 >> np.uint64(18)).astype(np.uint32)   # c0..c8
-    keyr_all = (k19_all & np.uint64((1 << 18) - 1)).astype(np.uint32)  # c10..c18
+    rkey_all = k19_all & mask_rkey
+    keyf_all = (kmer18 >> np.uint64(2 * pw)).astype(np.uint32)   # c0..c8
+    keyr_all = (k19_all & mask_half).astype(np.uint32)           # c10..c18
 
     # ---- unique 18-mer ids (sorted ascending), positions CSR -------------
     order = np.argsort(kmer18, kind="stable")   # stable = scan order per kmer
@@ -292,9 +296,9 @@ def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int
     # ---- 9-mer counts with incremented-by-forward rule -------------------
     # (indexdb.cpp:1466-1472): count[key_f]++ always; count[key_r]++ only
     # while key_r has not yet occurred as a key_f earlier in the part scan.
-    counts9 = np.zeros(KMER9_SPACE, dtype=np.int64)
+    counts9 = np.zeros(half_space, dtype=np.int64)
     np.add.at(counts9, keyf_all.astype(np.int64), 1)
-    first_f = np.full(KMER9_SPACE, np.iinfo(np.int64).max, dtype=np.int64)
+    first_f = np.full(half_space, np.iinfo(np.int64).max, dtype=np.int64)
     scan_idx = np.arange(keyf_all.shape[0], dtype=np.int64)
     np.minimum.at(first_f, keyf_all.astype(np.int64), scan_idx)
     r_before = scan_idx < first_f[keyr_all.astype(np.int64)]
@@ -311,15 +315,15 @@ def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int
     uk19, first19 = np.unique(k19_all, return_index=True)
     ids_per_uk19 = np.searchsorted(uniq, uk19 >> np.uint64(2)).astype(np.uint32)
 
-    r_entry_rkey = uk19 & np.uint64(MASK36)
+    r_entry_rkey = uk19 & mask_rkey
     r_entry_id = ids_per_uk19
     r_entry_scan = first19.astype(np.int64)
     # Sort R entries so BOTH the 18-char exact groups (c1..c18) and the
     # 17-char prefix groups (c2..c18) are contiguous: order by
     # (prefix, c1, id).  rkey packs c1 as the most significant char, so
     # prefix = rkey & MASK34 and c1 = rkey >> 34.
-    r_sortkey = ((r_entry_rkey & np.uint64(MASK34)) << np.uint64(2)) \
-        | (r_entry_rkey >> np.uint64(34))
+    r_sortkey = ((r_entry_rkey & mask_rpref) << np.uint64(2)) \
+        | (r_entry_rkey >> np.uint64(4 * pw - 2))
     r_order = np.lexsort((r_entry_id, r_sortkey))
 
     return dict(
@@ -333,6 +337,7 @@ def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int
         r_rkey_sorted=r_entry_rkey[r_order],
         r_ids=r_entry_id[r_order].astype(np.uint32),
         r_scan_sorted=r_entry_scan[r_order],
+        pw=pw,
     )
 
 
@@ -348,6 +353,9 @@ def finish_part(core: dict) -> IndexPart:
     """Build the device hash tables from the core arrays."""
     kmers18 = core["kmers18"]
     n = kmers18.shape[0]
+    pw = core.get("pw", 9)
+    half_space = 1 << (2 * pw)
+    mask_rpref = np.uint64((1 << (4 * pw - 2)) - 1)
 
     # F exact: 18-mer -> id (== rank)
     f_exact_keys, f_exact_vals = build_hash_u64(
@@ -388,8 +396,8 @@ def finish_part(core: dict) -> IndexPart:
     r_exact_keys, r_exact_vals = build_hash_u64(
         rk, np.stack([rk_start, rk_count, zero_rep], axis=1))
 
-    # R prefix: (c2..c18) = rkey & MASK34 -> range into r_ids
-    rp_all = r_rkey_sorted & np.uint64(MASK34)
+    # R prefix: (c2..c18) = rkey & mask_rpref -> range into r_ids
+    rp_all = r_rkey_sorted & mask_rpref
     changep = np.ones(rp_all.shape[0], dtype=bool)
     if rp_all.shape[0]:
         changep[1:] = rp_all[1:] != rp_all[:-1]
@@ -409,25 +417,27 @@ def finish_part(core: dict) -> IndexPart:
     # cheaper than the 146-probe enumeration whenever the bucket is small
     # (avg bucket = n_19mers / 2^18).
     uk19 = core["uk19"]
-    # F: sorted k19 is already grouped by keyf (top 18 bits)
-    f19_keys = (uk19 >> np.uint64(20)).astype(np.int64)
+    # F: sorted k19 is already grouped by keyf (top 2pw bits)
+    f19_keys = (uk19 >> np.uint64(2 * pw + 2)).astype(np.int64)
     f19_offsets = np.searchsorted(
-        f19_keys, np.arange(KMER9_SPACE + 1, dtype=np.int64)).astype(
+        f19_keys, np.arange(half_space + 1, dtype=np.int64)).astype(
             np.uint32)
-    f19_tails = (uk19 & np.uint64((1 << 20) - 1)).astype(np.uint32)
+    f19_tails = (uk19 & np.uint64((1 << (2 * pw + 2)) - 1)).astype(
+        np.uint32)
     f19_ids = core["uk19_ids"]
-    # R: key = c10..c18 (low 18 bits); tail word = (c9..c1 packed MSB
+    # R: key = c10..c18 (low 2pw bits); tail word = (c9..c1 packed MSB
     # first) << 2 | c0
-    keyr_all = (uk19 & np.uint64((1 << 18) - 1)).astype(np.int64)
-    c0 = (uk19 >> np.uint64(36)).astype(np.uint32)
-    mid9 = ((uk19 >> np.uint64(18)) & np.uint64((1 << 18) - 1)).astype(
+    keyr_all = (uk19 & np.uint64((1 << (2 * pw)) - 1)).astype(np.int64)
+    c0 = (uk19 >> np.uint64(4 * pw)).astype(np.uint32)
+    mid9 = ((uk19 >> np.uint64(2 * pw))
+            & np.uint64((1 << (2 * pw)) - 1)).astype(
         np.int64)  # c1..c9 packed with c1 MSB
-    from ..ops.seed_probe import rev9
-    w9r = rev9(mid9).astype(np.uint32)           # c9..c1 packed MSB first
+    from ..ops.seed_probe import rev_pack
+    w9r = rev_pack(mid9, pw).astype(np.uint32)   # c9..c1 packed MSB first
     r19_tails_all = (w9r << np.uint32(2)) | c0
     order_r = np.argsort(keyr_all, kind="stable")
     r19_offsets = np.searchsorted(
-        keyr_all[order_r], np.arange(KMER9_SPACE + 1, dtype=np.int64)
+        keyr_all[order_r], np.arange(half_space + 1, dtype=np.int64)
     ).astype(np.uint32)
     r19_tails = r19_tails_all[order_r]
     r19_ids = core["uk19_ids"][order_r]
@@ -459,30 +469,42 @@ def finish_part(core: dict) -> IndexPart:
         r19_offsets=r19_offsets,
         r19_tails=r19_tails,
         r19_ids=r19_ids,
+        seed_win_len=2 * pw,
     )
 
 
 def build_index(fasta_path: str,
                 interval: int = 1,
                 max_pos: int = 10000,
-                max_file_size_mb: float = 3072.0) -> BuiltIndex:
-    """Build the full index for one reference fasta (all parts)."""
-    metas, bg, full_len, spans, enc_seqs = scan_reference(fasta_path)
+                max_file_size_mb: float = 3072.0,
+                seed_win_len: int = SEED_WIN_LEN) -> BuiltIndex:
+    """Build the full index for one reference fasta (all parts).
+
+    seed_win_len: -L, a positive even integer 8..26 (options.cpp opt_L);
+    every table width derives from pw = L/2.
+    """
+    if seed_win_len % 2 or not (8 <= seed_win_len <= 26):
+        raise ValueError("seed_win_len must be an even integer in 8..26")
+    pw = seed_win_len // 2
+    metas, bg, full_len, spans, enc_seqs = scan_reference(
+        fasta_path, pread=seed_win_len + 1)
     total = bg.sum()
     stats = IndexStats(
         fasta_path=str(fasta_path),
         fasta_size=os.path.getsize(fasta_path),
         background_freq=bg / total,
         full_len=full_len,
-        seed_win_len=SEED_WIN_LEN,
+        seed_win_len=seed_win_len,
         numseq=len(metas),
         sam_sq=metas,
     )
 
     parts: List[IndexPart] = []
-    groups = _part_boundaries([m.length for m in metas], max_file_size_mb)
+    groups = _part_boundaries([m.length for m in metas], max_file_size_mb,
+                              pread=seed_win_len + 1)
     for gi, group in enumerate(groups):
-        core = build_part([enc_seqs[i] for i in group], interval, max_pos)
+        core = build_part([enc_seqs[i] for i in group], interval, max_pos,
+                          pw=pw)
         part = finish_part(core)
         part.start_part = spans[group[0]][0]
         part.seq_part_size = spans[group[-1]][1] - spans[group[0]][0]

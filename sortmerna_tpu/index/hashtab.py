@@ -1,4 +1,4 @@
-"""Open-addressing hash tables over <=38-bit integer keys.
+"""Open-addressing hash tables over <=52-bit integer keys.
 
 Replaces the reference's CMPH minimal perfect hash (3rdparty/cmph, used at
 indexdb.cpp:1571-1587) with an ordinary power-of-two open-addressing table
@@ -6,7 +6,9 @@ built on the host (numpy) and probed on the device (JAX gathers).
 
 The hash function uses only 32-bit wrapping multiplies so it can be
 evaluated identically in numpy (uint64 intermediate) and on TPU (int32/
-uint32 lanes).  Keys are split into hi/lo 19-bit halves.
+uint32 lanes).  Keys are split into hi/lo 26-bit halves (52 bits covers
+every key class up to seed length L=26: 2L-bit exact keys, (2L+2)-bit
+insertion keys).
 
 Layout: keys array (uint64, EMPTY = all-ones sentinel) and a value array
 (uint32 or uint32 pairs).  Linear probing; the builder guarantees the load
@@ -29,13 +31,14 @@ _MASK32 = np.uint64(0xFFFFFFFF)
 
 
 def hash_u64(keys: np.ndarray, table_bits: int) -> np.ndarray:
-    """32-bit mix of a <=38-bit key -> slot index.
+    """32-bit mix of a <=52-bit key -> slot index.
 
-    keys: uint64 array.  Must match jax_hash_u64 in ops/seed_search.py.
+    keys: uint64 array.  Must match _hash26 in ops/seed_search.py and
+    hash26 in native/probe.cpp.
     """
     k = keys.astype(np.uint64)
-    lo = k & np.uint64(0x7FFFF)            # low 19 bits
-    hi = (k >> np.uint64(19)) & np.uint64(0x7FFFF)
+    lo = k & np.uint64(0x3FFFFFF)          # low 26 bits
+    hi = k >> np.uint64(26)                # high <=26 bits
     h = (lo * _M1) & _MASK32
     h ^= (hi * _M2) & _MASK32
     h &= _MASK32

@@ -71,6 +71,8 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.cand_num_active.argtypes = [ctypes.c_void_p]
     lib.cand_num_jobs.restype = ctypes.c_int32
     lib.cand_num_jobs.argtypes = [ctypes.c_void_p]
+    lib.cand_read_states_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.cand_read_state.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                     ctypes.c_void_p]
     lib.cand_num_actions.restype = ctypes.c_int32

@@ -926,6 +926,23 @@ void cand_read_state(void* h, int32_t ord, int32_t* out4) {
     out4[5] = f.max_index;
 }
 
+// batched variant: one call for a whole item list (the per-ordinal
+// ctypes round-trips dominate the python collect stage otherwise)
+void cand_read_states_batch(void* h, const int32_t* ords, int64_t n,
+                            int32_t* out6 /* n x 6 */) {
+    Engine* e = (Engine*)h;
+    for (int64_t i = 0; i < n; ++i) {
+        FSM& f = e->fsms[ords[i]];
+        int32_t* o = out6 + i * 6;
+        o[0] = f.search ? 1 : 0;
+        o[1] = f.best;
+        o[2] = f.max_sw_count;
+        o[3] = f.is_hit ? 1 : 0;
+        o[4] = f.min_index;
+        o[5] = f.max_index;
+    }
+}
+
 int32_t cand_num_actions(void* h) {
     return (int32_t)((Engine*)h)->actions.size();
 }

@@ -21,8 +21,8 @@ constexpr uint32_t M1 = 0x9E3779B1u;
 constexpr uint32_t M2 = 0x85EBCA77u;
 
 static inline uint64_t hash_slot(uint64_t key, uint64_t mask) {
-    uint32_t lo = (uint32_t)(key & 0x7FFFFull);
-    uint32_t hi = (uint32_t)((key >> 19) & 0x7FFFFull);
+    uint32_t lo = (uint32_t)(key & 0x3FFFFFFull);   // low 26 bits
+    uint32_t hi = (uint32_t)(key >> 26);            // high <=26 bits
     uint32_t h = lo * M1;
     h ^= hi * M2;
     h ^= h >> 15;

@@ -32,43 +32,41 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import PARTIAL_WIN
-
-assert PARTIAL_WIN == 9, "closed forms below are specialized to L/2 == 9"
-
 MASK18 = (1 << 18) - 1
 
 
-def pack9(chars: np.ndarray, xp=np) -> np.ndarray:
-    """Pack 9 chars (last axis) MSB-first into an 18-bit integer."""
+def pack9(chars: np.ndarray, xp=np, pw: int = 9) -> np.ndarray:
+    """Pack pw chars (last axis) MSB-first into a 2*pw-bit integer."""
     out = xp.zeros(chars.shape[:-1], dtype=xp.int64 if xp is not np else np.int64)
-    for k in range(9):
+    for k in range(pw):
         out = (out << 2) | chars[..., k].astype(out.dtype)
     return out
 
 
-def accept_tail(w10_packed, p9_packed, xp=np):
-    """Vectorized acceptance of 10-char tails against a 9-char pattern.
+def accept_tail(w10_packed, p9_packed, xp=np, pw: int = 9):
+    """Vectorized acceptance of (pw+1)-char tails against a pw-char
+    pattern.
 
-    w10_packed: int64 (20-bit) packed tail, MSB-first.
-    p9_packed:  int64 (18-bit) packed pattern.
+    w10_packed: int64 (2*pw+2 bit) packed tail, MSB-first.
+    p9_packed:  int64 (2*pw bit) packed pattern.
     Returns (accept, zero) boolean arrays.
 
     This is the *verification* form (used in tests and by the scalar
     engine); the production path inverts it into hash probes, see
     `enumerate_probes`.
     """
-    w9 = (w10_packed >> 2) & MASK18
+    mask_half = (1 << (2 * pw)) - 1
+    w9 = (w10_packed >> 2) & mask_half
     x = w9 ^ p9_packed
     zero = x == 0
     # L = index of first mismatching char; bit position of highest set bit
     nbits = _bit_length(x, xp)            # 0 when x == 0
-    L = xp.where(zero, 9, 8 - (nbits - 1) // 2)
-    mask_sub = (1 << (2 * (8 - L)).astype(w9.dtype)) - 1   # chars L+1..8
+    L = xp.where(zero, pw, (pw - 1) - (nbits - 1) // 2)
+    mask_sub = (1 << (2 * (pw - 1 - L)).astype(w9.dtype)) - 1
     sub = (x & mask_sub) == 0
     d = ((w10_packed >> 4) ^ p9_packed) & mask_sub
     del_ = d == 0
-    mask_ins = (1 << (2 * (9 - L)).astype(w9.dtype)) - 1   # pairs L..8
+    mask_ins = (1 << (2 * (pw - L)).astype(w9.dtype)) - 1   # pairs L..pw-1
     ins = ((w10_packed ^ p9_packed) & mask_ins) == 0
     return zero | sub | del_ | ins, zero
 

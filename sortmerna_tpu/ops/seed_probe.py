@@ -37,49 +37,29 @@ import numpy as np
 from ..index.builder import IndexPart
 from ..index.hashtab import lookup_u64
 
-MASK16 = (1 << 16) - 1
-MASK18 = (1 << 18) - 1
-
-# precomputed 2-bit reversal for 9-char (18-bit) values, built lazily
-_REV9 = None
-
-
-def _rev9_table() -> np.ndarray:
-    global _REV9
-    if _REV9 is None:
-        v = np.arange(1 << 18, dtype=np.uint32)
-        out = np.zeros_like(v)
-        x = v.copy()
-        for _ in range(9):
-            out = (out << 2) | (x & 3)
-            x >>= 2
-        _REV9 = out.astype(np.int64)
-    return _REV9
-
-
-def rev9(p: np.ndarray) -> np.ndarray:
-    """Reverse the 9 chars of an 18-bit packed value."""
-    return _rev9_table()[p]
-
-
-def rev8(p: np.ndarray) -> np.ndarray:
-    """Reverse the 8 chars of a 16-bit packed value."""
+def rev_pack(p: np.ndarray, width: int) -> np.ndarray:
+    """Reverse the ``width`` 2-bit chars of a packed value."""
     out = np.zeros_like(p)
     x = p.copy()
-    for _ in range(8):
+    for _ in range(width):
         out = (out << 2) | (x & 3)
         x >>= 2
     return out
 
 
-def sub_variants_vec(p: np.ndarray) -> np.ndarray:
-    """[nw, 37] packed sub-neighborhood (original + 36 single-char swaps)."""
+def rev9(p: np.ndarray) -> np.ndarray:
+    """Reverse the 9 chars of an 18-bit packed value (pw=9 shorthand)."""
+    return rev_pack(np.asarray(p, np.int64), 9)
+
+
+def sub_variants_vec(p: np.ndarray, pw: int = 9) -> np.ndarray:
+    """[nw, 4*pw+1] packed sub-neighborhood (original + single swaps)."""
     nw = p.shape[0]
-    out = np.empty((nw, 37), dtype=np.int64)
+    out = np.empty((nw, 4 * pw + 1), dtype=np.int64)
     out[:, 0] = p
     col = 1
-    for i in range(9):
-        shift = 2 * (8 - i)
+    for i in range(pw):
+        shift = 2 * (pw - 1 - i)
         cleared = p & ~(3 << shift)
         for c in range(4):
             out[:, col] = cleared | (c << shift)
@@ -87,27 +67,28 @@ def sub_variants_vec(p: np.ndarray) -> np.ndarray:
     return out
 
 
-def del_variants_vec(p: np.ndarray) -> np.ndarray:
-    """[nw, 9] packed 8-char deletions of a 9-char pattern."""
+def del_variants_vec(p: np.ndarray, pw: int = 9) -> np.ndarray:
+    """[nw, pw] packed (pw-1)-char deletions of a pw-char pattern."""
     nw = p.shape[0]
-    out = np.empty((nw, 9), dtype=np.int64)
-    for k in range(9):
-        hi = p >> (2 * (9 - k))
-        lo = p & ((1 << (2 * (8 - k))) - 1)
-        out[:, k] = (hi << (2 * (8 - k))) | lo
+    out = np.empty((nw, pw), dtype=np.int64)
+    for k in range(pw):
+        hi = p >> (2 * (pw - k))
+        lo = p & ((1 << (2 * (pw - 1 - k))) - 1)
+        out[:, k] = (hi << (2 * (pw - 1 - k))) | lo
     return out
 
 
-def ins9_variants_vec(p: np.ndarray) -> np.ndarray:
-    """[nw, 36] first-9-chars of single-insertions of a 9-char pattern."""
+def ins9_variants_vec(p: np.ndarray, pw: int = 9) -> np.ndarray:
+    """[nw, 4*pw] first-pw-chars of single-insertions of a pw-char
+    pattern."""
     nw = p.shape[0]
-    out = np.empty((nw, 36), dtype=np.int64)
+    out = np.empty((nw, 4 * pw), dtype=np.int64)
     col = 0
-    for k in range(9):
-        hi = p >> (2 * (9 - k))
-        mid = (p >> 2) & ((1 << (2 * (8 - k))) - 1)
+    for k in range(pw):
+        hi = p >> (2 * (pw - k))
+        mid = (p >> 2) & ((1 << (2 * (pw - 1 - k))) - 1)
         for c in range(4):
-            out[:, col] = (((hi << 2) | c) << (2 * (8 - k))) | mid
+            out[:, col] = (((hi << 2) | c) << (2 * (pw - 1 - k))) | mid
             col += 1
     return out
 
@@ -122,11 +103,13 @@ class SeedSearcher:
                  full_search: bool = False, use_native: bool = True,
                  threads: int = 1):
         self.part = part
+        self.pw = getattr(part, "seed_win_len", 18) // 2
         self.minoccur = minoccur
         self.full_search = full_search
         self.threads = max(1, threads)
         self._lib = None
-        if use_native:
+        if use_native and self.pw == 9:
+            # the native kernel is specialized to the default L=18
             from .. import native
             self._lib = native.get_lib()
             if self._lib is not None:
@@ -187,6 +170,11 @@ class SeedSearcher:
         reference-kmer ids (the id_win pairs of paralleltraversal.cpp:241).
         """
         part = self.part
+        pw = self.pw
+        h = 2 * pw               # bits per half
+        n_sub = 4 * pw + 1
+        n_del = pw
+        n_ins = 4 * pw
         nw = w1.shape[0]
         counts = part.kmer_counts
 
@@ -194,44 +182,44 @@ class SeedSearcher:
         gate_r = counts[w2] > self.minoccur
 
         # ---------- subsearch 1a ----------
-        k18_exact = (w1 << 18) | w2
+        k18_exact = (w1 << h) | w2
         zf, zid = lookup_u64(part.f_exact_keys, part.f_exact_vals,
                              k18_exact.astype(np.uint64))
         zero_a = zf & gate_f
 
-        # sub probes (37 per window) -- includes the exact one again;
-        # harmless under set semantics.
-        subs = sub_variants_vec(w2)
-        sub_keys = ((w1[:, None] << 18) | subs).astype(np.uint64)
+        # sub probes -- include the exact one again; harmless under set
+        # semantics.
+        subs = sub_variants_vec(w2, pw)
+        sub_keys = ((w1[:, None] << h) | subs).astype(np.uint64)
         sf, sid = lookup_u64(part.f_exact_keys, part.f_exact_vals,
                              sub_keys.ravel())
-        sf = sf.reshape(nw, 37) & gate_f[:, None]
-        sid = sid.reshape(nw, 37)
+        sf = sf.reshape(nw, n_sub) & gate_f[:, None]
+        sid = sid.reshape(nw, n_sub)
 
-        # del probes (9 per window) -> contiguous id ranges
-        dels = del_variants_vec(w2)
-        del_keys = ((w1[:, None] << 16) | dels).astype(np.uint64)
+        # del probes -> contiguous id ranges
+        dels = del_variants_vec(w2, pw)
+        del_keys = ((w1[:, None] << (h - 2)) | dels).astype(np.uint64)
         df, dval = lookup_u64(part.f_pref_keys,
                               np.stack([part.f_pref_start,
                                         part.f_pref_count], axis=1),
                               del_keys.ravel())
-        df = df.reshape(nw, 9) & gate_f[:, None]
-        dstart = dval[:, 0].reshape(nw, 9)
-        dcount = np.where(df, dval[:, 1].reshape(nw, 9), 0)
+        df = df.reshape(nw, n_del) & gate_f[:, None]
+        dstart = dval[:, 0].reshape(nw, n_del)
+        dcount = np.where(df, dval[:, 1].reshape(nw, n_del), 0)
 
-        # ins probes (36 per window) -> single ids via 19-mer table
-        ins9 = ins9_variants_vec(w2)
+        # ins probes -> single ids via (L+1)-mer table
+        ins9 = ins9_variants_vec(w2, pw)
         p8 = w2 & 3   # last char of the pattern w2
-        ins_keys = ((w1[:, None].astype(np.uint64) << np.uint64(20))
+        ins_keys = ((w1[:, None].astype(np.uint64) << np.uint64(h + 2))
                     | (ins9.astype(np.uint64) << np.uint64(2))
                     | p8[:, None].astype(np.uint64))
         inf, inid = lookup_u64(part.k19_keys, part.k19_vals, ins_keys.ravel())
-        inf = inf.reshape(nw, 36) & gate_f[:, None]
-        inid = inid.reshape(nw, 36)
+        inf = inf.reshape(nw, n_ins) & gate_f[:, None]
+        inid = inid.reshape(nw, n_ins)
 
         # ---------- subsearch 1b ----------
-        p_r = rev9(w1)
-        rkey_exact = ((w1 << 18) | w2).astype(np.uint64)  # pack(c1..c18)=w1.w2
+        p_r = rev_pack(w1, pw)
+        rkey_exact = ((w1 << h) | w2).astype(np.uint64)  # pack(c1..c18)
         rzf, rzval = lookup_u64(
             part.r_exact_keys,
             np.stack([part.r_exact_start, part.r_exact_count,
@@ -239,38 +227,39 @@ class SeedSearcher:
             rkey_exact)
         zero_b = rzf & gate_r
 
-        rsubs = sub_variants_vec(p_r)
-        rsub_keys = ((rev9(rsubs.reshape(-1)).reshape(nw, 37) << 18)
-                     | w2[:, None]).astype(np.uint64)
+        rsubs = sub_variants_vec(p_r, pw)
+        rsub_keys = ((rev_pack(rsubs.reshape(-1), pw).reshape(nw, n_sub)
+                      << h) | w2[:, None]).astype(np.uint64)
         rsf, rsval = lookup_u64(
             part.r_exact_keys,
             np.stack([part.r_exact_start, part.r_exact_count], axis=1),
             rsub_keys.ravel())
-        rsf = rsf.reshape(nw, 37) & gate_r[:, None]
-        rs_start = rsval[:, 0].reshape(nw, 37)
-        rs_count = np.where(rsf, rsval[:, 1].reshape(nw, 37), 0)
+        rsf = rsf.reshape(nw, n_sub) & gate_r[:, None]
+        rs_start = rsval[:, 0].reshape(nw, n_sub)
+        rs_count = np.where(rsf, rsval[:, 1].reshape(nw, n_sub), 0)
 
-        rdels = del_variants_vec(p_r)
-        rdel_keys = ((rev8(rdels.reshape(-1)).reshape(nw, 9) << 18)
+        rdels = del_variants_vec(p_r, pw)
+        rdel_keys = ((rev_pack(rdels.reshape(-1), pw - 1).reshape(
+                        nw, n_del) << h)
                      | w2[:, None]).astype(np.uint64)
         rdf, rdval = lookup_u64(
             part.r_pref_keys,
             np.stack([part.r_pref_start, part.r_pref_count], axis=1),
             rdel_keys.ravel())
-        rdf = rdf.reshape(nw, 9) & gate_r[:, None]
-        rd_start = rdval[:, 0].reshape(nw, 9)
-        rd_count = np.where(rdf, rdval[:, 1].reshape(nw, 9), 0)
+        rdf = rdf.reshape(nw, n_del) & gate_r[:, None]
+        rd_start = rdval[:, 0].reshape(nw, n_del)
+        rd_count = np.where(rdf, rdval[:, 1].reshape(nw, n_del), 0)
 
-        rins9 = ins9_variants_vec(p_r)
-        c0 = w1 >> 16          # P_r[8] == w1[0] == top char of w1
-        rins_keys = ((c0[:, None].astype(np.uint64) << np.uint64(36))
-                     | (rev9(rins9.reshape(-1)).reshape(nw, 36).astype(np.uint64)
-                        << np.uint64(18))
+        rins9 = ins9_variants_vec(p_r, pw)
+        c0 = w1 >> (h - 2)     # P_r[pw-1] == w1[0] == top char of w1
+        rins_keys = ((c0[:, None].astype(np.uint64) << np.uint64(2 * h))
+                     | (rev_pack(rins9.reshape(-1), pw).reshape(
+                         nw, n_ins).astype(np.uint64) << np.uint64(h))
                      | w2[:, None].astype(np.uint64))
         rinf, rinid = lookup_u64(part.k19_keys, part.k19_vals,
                                  rins_keys.ravel())
-        rinf = rinf.reshape(nw, 36) & gate_r[:, None]
-        rinid = rinid.reshape(nw, 36)
+        rinf = rinf.reshape(nw, n_ins) & gate_r[:, None]
+        rinid = rinid.reshape(nw, n_ins)
 
         # ---------- combine with 0-error short-circuit semantics ----------
         # fully vectorized; three window modes (paralleltraversal semantics):

@@ -35,7 +35,7 @@ from ..index.hashtab import MAX_PROBES
 
 _M1 = np.uint32(0x9E3779B1)
 _M2 = np.uint32(0x85EBCA77)
-MASK19 = (1 << 19) - 1
+M26 = (1 << 26) - 1
 
 # group-size caps (guaranteed by the index layout: an 18-mer group over a
 # 17-char prefix has <=4 members; R exact groups <=4; R prefix <=16 --
@@ -48,33 +48,35 @@ CAP_RDEL = 16
 
 def _split_keys_u64(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """u64 table keys -> (lo32, hi32) uint32 halves (EMPTY stays all-1s,
-    distinguishable from any real <=38-bit key whose hi32 <= 0x3F)."""
+    distinguishable from any real <=54-bit key whose hi32 < 2^22)."""
     k = keys.astype(np.uint64)
     return ((k & np.uint64(0xFFFFFFFF)).astype(np.uint32),
             (k >> np.uint64(32)).astype(np.uint32))
 
 
-def _hash19(lo19, hi19, bits: int):
-    """jit twin of index/hashtab.hash_u64 (32-bit wrapping mixes)."""
-    h = (lo19.astype(jnp.uint32) * _M1) ^ (hi19.astype(jnp.uint32) * _M2)
+def _hash26(lo26, hi26, bits: int):
+    """jit twin of index/hashtab.hash_u64 (32-bit wrapping mixes over the
+    26/26 key-half split)."""
+    h = (lo26.astype(jnp.uint32) * _M1) ^ (hi26.astype(jnp.uint32) * _M2)
     h = h ^ (h >> 15)
     h = h * _M1
     h = h ^ (h >> 13)
     return (h & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
 
 
-def _probe_table(tk_lo, tk_hi, tv, lo19, hi19):
+def _probe_table(tk_lo, tk_hi, tv, lo26, hi26):
     """Vectorized linear-probe lookup.
 
-    lo19/hi19: uint32[N] query key halves (19+19 bits).
+    lo26/hi26: int32[N] query key halves (key & M26, key >> 26); hi26
+    carries every bit above 26 exactly (matches hash_u64's split).
     Returns (found bool[N], val rows of tv[N]).
     """
     size = tk_lo.shape[0]
     bits = int(size).bit_length() - 1
-    klo32 = lo19.astype(jnp.uint32) | (hi19.astype(jnp.uint32) << 19)
-    khi32 = (hi19 >> 13).astype(jnp.uint32)
-    cur = _hash19(lo19, hi19, bits)
-    n = lo19.shape[0]
+    klo32 = lo26.astype(jnp.uint32) | (hi26.astype(jnp.uint32) << 26)
+    khi32 = (hi26 >> 6).astype(jnp.uint32)
+    cur = _hash26(lo26, hi26, bits)
+    n = lo26.shape[0]
     found0 = jnp.zeros(n, bool)
     val0 = jnp.zeros((n,) + tv.shape[1:], tv.dtype)
 
@@ -108,51 +110,42 @@ def _probe_table(tk_lo, tk_hi, tv, lo19, hi19):
 # variant enumeration (jit twins of seed_probe.sub/del/ins9_variants_vec)
 
 
-def _sub_variants(p):
-    """[nw, 37] int32: original + 36 single-char substitutions."""
+def _sub_variants(p, pw):
+    """[nw, 4*pw+1] int32: original + single-char substitutions."""
     cols = [p]
-    for i in range(9):
-        shift = 2 * (8 - i)
+    for i in range(pw):
+        shift = 2 * (pw - 1 - i)
         cleared = p & ~(3 << shift)
         for c in range(4):
             cols.append(cleared | (c << shift))
     return jnp.stack(cols, axis=1)
 
 
-def _del_variants(p):
-    """[nw, 9] int32 packed 8-char deletions."""
+def _del_variants(p, pw):
+    """[nw, pw] int32 packed (pw-1)-char deletions."""
     cols = []
-    for k in range(9):
-        hi = p >> (2 * (9 - k))
-        lo = p & ((1 << (2 * (8 - k))) - 1)
-        cols.append((hi << (2 * (8 - k))) | lo)
+    for k in range(pw):
+        hi = p >> (2 * (pw - k))
+        lo = p & ((1 << (2 * (pw - 1 - k))) - 1)
+        cols.append((hi << (2 * (pw - 1 - k))) | lo)
     return jnp.stack(cols, axis=1)
 
 
-def _ins9_variants(p):
-    """[nw, 36] int32 first-9-chars of single insertions."""
+def _ins9_variants(p, pw):
+    """[nw, 4*pw] int32 first-pw-chars of single insertions."""
     cols = []
-    for k in range(9):
-        hi = p >> (2 * (9 - k))
-        mid = (p >> 2) & ((1 << (2 * (8 - k))) - 1)
+    for k in range(pw):
+        hi = p >> (2 * (pw - k))
+        mid = (p >> 2) & ((1 << (2 * (pw - 1 - k))) - 1)
         for c in range(4):
-            cols.append((((hi << 2) | c) << (2 * (8 - k))) | mid)
+            cols.append((((hi << 2) | c) << (2 * (pw - 1 - k))) | mid)
     return jnp.stack(cols, axis=1)
 
 
-def _rev9(p):
+def _rev(p, width):
     out = jnp.zeros_like(p)
     x = p
-    for _ in range(9):
-        out = (out << 2) | (x & 3)
-        x = x >> 2
-    return out
-
-
-def _rev8(p):
-    out = jnp.zeros_like(p)
-    x = p
-    for _ in range(8):
+    for _ in range(width):
         out = (out << 2) | (x & 3)
         x = x >> 2
     return out
@@ -163,110 +156,131 @@ def _bcast(lo, hi):
     return lo, hi
 
 
-def _k18_halves(w1, w2):
-    """(lo19, hi19) of the 36-bit key w1<<18 | w2."""
-    return _bcast(((w1 & 1) << 18) | w2, w1 >> 1)
+def _shift_halves(hi_part, lo_part, s):
+    """(lo26, hi26) of key = hi_part << s | lo_part, s <= 26 and
+    lo_part < 2^s."""
+    t = 26 - s
+    return _bcast(((hi_part & ((1 << t) - 1)) << s) | lo_part,
+                  hi_part >> t)
 
 
-def _fpref_halves(w1, d8):
-    """34-bit key w1<<16 | d8 (8-char deletion tail)."""
-    return _bcast(((w1 & 7) << 16) | d8, w1 >> 3)
+def _k18_halves(w1, w2, pw):
+    """key = w1 << 2pw | w2 (4pw bits)."""
+    return _shift_halves(w1, w2, 2 * pw)
 
 
-def _fins_halves(w1, v9, c):
-    """38-bit key w1<<20 | v9<<2 | c."""
-    return _bcast(((v9 & ((1 << 17) - 1)) << 2) | c,
-                  (w1 << 1) | (v9 >> 17))
+def _fpref_halves(w1, d8, pw):
+    """key = w1 << (2pw-2) | d8 (deletion tail)."""
+    return _shift_halves(w1, d8, 2 * pw - 2)
 
 
-def _rdel_halves(d8r, w2):
-    """34-bit key d8r<<18 | w2."""
-    return _bcast(((d8r & 1) << 18) | w2, d8r >> 1)
+def _fins_halves(w1, v9, c, pw):
+    """key = w1 << (2pw+2) | v9 << 2 | c."""
+    s = 2 * pw + 2
+    L0 = (v9 << 2) | c            # <= 2pw+2 <= 28 bits, fits int32
+    if s <= 26:
+        return _shift_halves(w1, L0, s)
+    return _bcast(L0 & M26, (w1 << (s - 26)) | (L0 >> 26))
 
 
-def _rins_halves(c0, rv9, w2):
-    """38-bit key c0<<36 | rv9<<18 | w2."""
-    return _bcast(((rv9 & 1) << 18) | w2, (c0 << 17) | (rv9 >> 1))
+def _rdel_halves(d8r, w2, pw):
+    """key = d8r << 2pw | w2."""
+    return _shift_halves(d8r, w2, 2 * pw)
+
+
+def _rins_halves(c0, rv9, w2, pw):
+    """key = c0 << 4pw | rv9 << 2pw | w2 (4pw+2 bits)."""
+    s = 2 * pw
+    if 4 * pw + 2 <= 26:
+        return _bcast((c0 << (2 * s)) | (rv9 << s) | w2,
+                      jnp.zeros_like(w2))
+    m_lo, m_hi = _shift_halves(rv9, w2, s)      # M0 = rv9<<s | w2
+    return _bcast(m_lo, (c0 << (2 * s - 26)) | m_hi)
 
 
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("full_search", "minoccur", "cap"))
-def _probe_kernel(tabs, w1, w2, n_real, full_search: bool, minoccur: int,
-                  cap: int):
+                   static_argnames=("pw", "full_search", "minoccur", "cap"))
+def _probe_kernel(tabs, w1, w2, n_real, pw: int, full_search: bool,
+                  minoccur: int, cap: int):
     """The full window search for a padded window batch.
 
     tabs: dict of device table arrays (see DeviceSeedSearcher).
-    w1, w2: int32[NW] packed 9-mer halves (padded; rows >= n_real are
+    w1, w2: int32[NW] packed pw-mer halves (padded; rows >= n_real are
     discarded by validity masking).
     Returns (out_win int32[cap], out_id int32[cap], total int32).
     """
     nw = w1.shape[0]
+    n_sub = 4 * pw + 1
+    n_del = pw
+    n_ins = 4 * pw
     counts = tabs["kmer_counts"]
     gate_f = counts[w1] > minoccur
     gate_r = counts[w2] > minoccur
 
     # ---------- subsearch 1a ----------
-    lo, hi = _k18_halves(w1, w2)
+    lo, hi = _k18_halves(w1, w2, pw)
     zf, zid = _probe_table(tabs["fx_lo"], tabs["fx_hi"], tabs["fx_val"],
                            lo, hi)
     zero_a = zf & gate_f
 
-    subs = _sub_variants(w2)                        # [nw, 37]
-    lo, hi = _k18_halves(w1[:, None], subs)
+    subs = _sub_variants(w2, pw)                    # [nw, n_sub]
+    lo, hi = _k18_halves(w1[:, None], subs, pw)
     sf, sid = _probe_table(tabs["fx_lo"], tabs["fx_hi"], tabs["fx_val"],
                            lo.ravel(), hi.ravel())
-    sf = sf.reshape(nw, 37) & gate_f[:, None]
-    sid = sid.reshape(nw, 37)
+    sf = sf.reshape(nw, n_sub) & gate_f[:, None]
+    sid = sid.reshape(nw, n_sub)
 
-    dels = _del_variants(w2)                        # [nw, 9]
-    lo, hi = _fpref_halves(w1[:, None], dels)
+    dels = _del_variants(w2, pw)                    # [nw, n_del]
+    lo, hi = _fpref_halves(w1[:, None], dels, pw)
     df, dval = _probe_table(tabs["fp_lo"], tabs["fp_hi"], tabs["fp_val"],
                             lo.ravel(), hi.ravel())
-    df = df.reshape(nw, 9) & gate_f[:, None]
-    dstart = dval[:, 0].reshape(nw, 9).astype(jnp.int32)
-    dcount = jnp.where(df, dval[:, 1].reshape(nw, 9).astype(jnp.int32), 0)
+    df = df.reshape(nw, n_del) & gate_f[:, None]
+    dstart = dval[:, 0].reshape(nw, n_del).astype(jnp.int32)
+    dcount = jnp.where(
+        df, dval[:, 1].reshape(nw, n_del).astype(jnp.int32), 0)
 
-    ins9 = _ins9_variants(w2)                       # [nw, 36]
-    lo, hi = _fins_halves(w1[:, None], ins9, (w2 & 3)[:, None])
+    ins9 = _ins9_variants(w2, pw)                   # [nw, n_ins]
+    lo, hi = _fins_halves(w1[:, None], ins9, (w2 & 3)[:, None], pw)
     inf, inid = _probe_table(tabs["k19_lo"], tabs["k19_hi"],
                              tabs["k19_val"], lo.ravel(), hi.ravel())
-    inf = inf.reshape(nw, 36) & gate_f[:, None]
-    inid = inid.reshape(nw, 36)
+    inf = inf.reshape(nw, n_ins) & gate_f[:, None]
+    inid = inid.reshape(nw, n_ins)
 
     # ---------- subsearch 1b ----------
-    p_r = _rev9(w1)
-    lo, hi = _k18_halves(w1, w2)
+    p_r = _rev(w1, pw)
+    lo, hi = _k18_halves(w1, w2, pw)
     rzf, rzval = _probe_table(tabs["rx_lo"], tabs["rx_hi"], tabs["rx_val"],
                               lo, hi)
     zero_b = rzf & gate_r
 
-    rsubs = _rev9(_sub_variants(p_r))               # [nw, 37]
-    lo, hi = _k18_halves(rsubs, w2[:, None])
+    rsubs = _rev(_sub_variants(p_r, pw), pw)        # [nw, n_sub]
+    lo, hi = _k18_halves(rsubs, w2[:, None], pw)
     rsf, rsval = _probe_table(tabs["rx_lo"], tabs["rx_hi"], tabs["rx_val"],
                               lo.ravel(), hi.ravel())
-    rsf = rsf.reshape(nw, 37) & gate_r[:, None]
-    rs_start = rsval[:, 0].reshape(nw, 37).astype(jnp.int32)
+    rsf = rsf.reshape(nw, n_sub) & gate_r[:, None]
+    rs_start = rsval[:, 0].reshape(nw, n_sub).astype(jnp.int32)
     rs_count = jnp.where(
-        rsf, rsval[:, 1].reshape(nw, 37).astype(jnp.int32), 0)
+        rsf, rsval[:, 1].reshape(nw, n_sub).astype(jnp.int32), 0)
 
-    rdels = _rev8(_del_variants(p_r))               # [nw, 9]
-    lo, hi = _rdel_halves(rdels, w2[:, None])
+    rdels = _rev(_del_variants(p_r, pw), pw - 1)    # [nw, n_del]
+    lo, hi = _rdel_halves(rdels, w2[:, None], pw)
     rdf, rdval = _probe_table(tabs["rp_lo"], tabs["rp_hi"], tabs["rp_val"],
                               lo.ravel(), hi.ravel())
-    rdf = rdf.reshape(nw, 9) & gate_r[:, None]
-    rd_start = rdval[:, 0].reshape(nw, 9).astype(jnp.int32)
+    rdf = rdf.reshape(nw, n_del) & gate_r[:, None]
+    rd_start = rdval[:, 0].reshape(nw, n_del).astype(jnp.int32)
     rd_count = jnp.where(
-        rdf, rdval[:, 1].reshape(nw, 9).astype(jnp.int32), 0)
+        rdf, rdval[:, 1].reshape(nw, n_del).astype(jnp.int32), 0)
 
-    rins9 = _rev9(_ins9_variants(p_r))              # [nw, 36]
-    lo, hi = _rins_halves((w1 >> 16)[:, None], rins9, w2[:, None])
+    rins9 = _rev(_ins9_variants(p_r, pw), pw)       # [nw, n_ins]
+    lo, hi = _rins_halves((w1 >> (2 * pw - 2))[:, None], rins9,
+                          w2[:, None], pw)
     rinf, rinid = _probe_table(tabs["k19_lo"], tabs["k19_hi"],
                                tabs["k19_val"], lo.ravel(), hi.ravel())
-    rinf = rinf.reshape(nw, 36) & gate_r[:, None]
-    rinid = rinid.reshape(nw, 36)
+    rinf = rinf.reshape(nw, n_ins) & gate_r[:, None]
+    rinid = rinid.reshape(nw, n_ins)
 
     # ---------- combine (0-error short-circuit semantics) ----------
     if full_search:
@@ -340,6 +354,7 @@ class DeviceSeedSearcher:
                  full_search: bool = False):
         self.minoccur = int(minoccur)
         self.full_search = bool(full_search)
+        self.pw = getattr(part, "seed_win_len", 18) // 2
         # cap verification (fall back handled by caller)
         if ((len(part.f_pref_count) and
              int(part.f_pref_count.max()) > CAP_FDEL)
@@ -409,7 +424,7 @@ class DeviceSeedSearcher:
         cap = max(4 * NW, 4096)
         while True:
             ow, oi, total = _probe_kernel(
-                self.tabs, w1j, w2j, jnp.int32(nw),
+                self.tabs, w1j, w2j, jnp.int32(nw), self.pw,
                 self.full_search, self.minoccur, cap)
             total = int(total)
             if total <= cap:

@@ -3,6 +3,11 @@ import os
 # Force CPU with a virtual 8-device mesh for sharding tests (the ambient
 # environment may point JAX at a tunneled TPU); real TPU runs use the
 # engine/bench entry points which do not import this conftest.
+# CRITICAL: unregister the axon (tunneled TPU) plugin entirely -- it
+# ignores JAX_PLATFORMS, and merely initializing it CLAIMS the remote
+# chip, wedging the device for any concurrent/subsequent real-TPU
+# process (claim release takes ~15 min).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")

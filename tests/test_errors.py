@@ -73,12 +73,21 @@ def test_index_artifact_counts(tmp_path):
     (["-ref", REF, "-reads", READS, "-gap_open", "2", "-gap_ext", "5"],
      "gap_ext"),
     (["-ref", REF, "-reads", READS, "-task", "7"], "task"),
-    (["-ref", REF, "-reads", READS, "-L", "17"], "-L"),
     (["-ref", REF, "-reads", READS, "-bogus_opt"], "unknown option"),
 ])
 def test_cli_validation_errors(argv, match):
     with pytest.raises(SystemExit, match=match):
         parse_args(argv)
+
+
+def test_cli_bad_L_warns_and_keeps_default(capsys):
+    """Reference behavior: invalid -L warns and uses the default
+    (options.cpp opt_L)."""
+    opts = parse_args(["-ref", REF, "-reads", READS, "-L", "17"])
+    assert opts.seed_win_len == 18
+    assert "Positive Even integer" in capsys.readouterr().err
+    opts = parse_args(["-ref", REF, "-reads", READS, "-L", "14"])
+    assert opts.seed_win_len == 14
 
 
 def test_missing_reads_file(tmp_path):
