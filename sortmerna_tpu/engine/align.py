@@ -160,9 +160,12 @@ def traverse_strand(
         batch = ReadBatch(reads)
     offs = batch.offs
     lens = batch.lens
-    concat = batch.concat03(forward)
+    from ..util import timed as _t
+    with _t("batch_enc03"):
+        concat = batch.concat03(forward)
     pw = lnwin // 2
-    p9all = pack9_all(concat, pw)  # invalid at read boundaries; only
+    with _t("pack9"):
+        p9all = pack9_all(concat, pw)  # invalid at read boundaries; only
     #                                in-read window starts are indexed
     searched = np.zeros(offs[-1], dtype=bool)
 
@@ -171,9 +174,11 @@ def traverse_strand(
         states[i].last_part = ctx.part_num
         trav[i] = _TravState(win_shift=skiplengths[0])
 
+    from ..util import timed
     live = [i for i in ordinals]
     while live:
         # ---- collect this pass's unsearched windows (bulk)
+      with timed("trav_enum"):
         la = np.asarray(live, dtype=np.int64)
         shifts = np.asarray([trav[i].win_shift for i in live],
                             dtype=np.int64)
@@ -190,10 +195,10 @@ def traverse_strand(
         probe_pos = pos[fresh]
         gsel = gidx[fresh]
 
+      if True:
         if len(probe_read):
             w1 = p9all[gsel]
             w2 = p9all[gsel + pw]
-            from ..util import timed
             with timed("probe"):
                 hw, hid = searcher.search_windows(w1, w2)
             # attribute hits; one hit_seeds increment per window with
@@ -220,6 +225,7 @@ def traverse_strand(
 
         # ---- LIS/SW stage for reads whose seed count reaches threshold
         if native_engine is not None:
+          with timed("trav_items"):
             items = []
             for i in live:
                 if states[i].hit_seeds >= opts.num_seeds:
@@ -235,8 +241,8 @@ def traverse_strand(
                             else np.zeros(0, np.int64)
                         t.np_hits = [(kid_arr, win_arr)]
                     items.append((i, (kid_arr, win_arr)))
-            flags = native_engine.run_pass_arrays(items, states, backend,
-                                                 readstats)
+          flags = native_engine.run_pass_arrays(items, states, backend,
+                                                readstats)
         else:
             for i in live:
                 t = trav[i]

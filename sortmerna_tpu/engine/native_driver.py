@@ -48,7 +48,10 @@ class NativeCandidateEngine:
             from .read import ReadBatch
             batch = ReadBatch(reads)
         self.reads_off = batch.offs
-        self.reads_data = np.ascontiguousarray(batch.concat04(forward))
+        from ..util import timed as _t
+        with _t("batch_enc04"):
+            self.reads_data = np.ascontiguousarray(
+                batch.concat04(forward))
 
         self.pos_offsets = np.ascontiguousarray(ctx.pos_offsets, np.int64)
         self.pos_seq = np.ascontiguousarray(ctx.pos_seq, np.uint32)
@@ -72,13 +75,15 @@ class NativeCandidateEngine:
         if self.h:
             from ..util import TIMERS, timers_enabled
             if timers_enabled():
-                t7 = np.zeros(7, np.float64)
-                self.lib.cand_timers(self.h, t7.ctypes.data)
-                for k, v, c in (("cpp_build", t7[0], 1),
-                                ("cpp_advance", t7[1], 1),
-                                ("cpp_lis", t7[2], int(t7[4])),
-                                ("cpp_traceback", t7[3], int(t7[5])),
-                                ("cpp_triples", t7[6] / 1e9, int(t7[6]))):
+                t9 = np.zeros(9, np.float64)
+                self.lib.cand_timers(self.h, t9.ctypes.data)
+                for k, v, c in (("cpp_build", t9[0], 1),
+                                ("cpp_advance", t9[1], 1),
+                                ("cpp_lis", t9[2], int(t9[4])),
+                                ("cpp_traceback", t9[3], int(t9[5])),
+                                ("cpp_triples", t9[6] / 1e9, int(t9[6])),
+                                ("sw_jobs_scored", 0.0, int(t9[7])),
+                                ("sw_jobs_consumed", 0.0, int(t9[8]))):
                     e = TIMERS.setdefault(k, [0.0, 0])
                     e[0] += float(v)
                     e[1] += c

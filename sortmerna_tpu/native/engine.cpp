@@ -180,6 +180,9 @@ struct Engine {
     // stage timers/counters: build, lis, traceback, advance; job/lis counts
     double t_build = 0, t_lis = 0, t_tb = 0, t_adv = 0;
     int64_t n_lis = 0, n_tb = 0, n_trip = 0;
+    // device-work accounting: jobs scored on device vs results actually
+    // consumed by a state machine (speculation waste monitor)
+    int64_t n_scored = 0, n_consumed = 0;
     int nthreads = 1;   // host threads for batched FSM start (--threads)
 };
 
@@ -505,6 +508,7 @@ static void advance(Engine* e, FSM& f, Scratch& sc) {
                     SpecJob& s = f.spec[r.spec];
                     if (!s.filled) return;   // wave round-trip; resume here
                     ++f.it_rec;
+                    ++e->n_consumed;
                     apply_result(e, f, s.aq, s.ar, s.head, s.ref,
                                  s.score, s.rb, s.re, s.qb, s.qe);
                     continue;
@@ -870,6 +874,7 @@ void cand_post(void* h, int32_t n, const int32_t* scores,
                const int32_t* rb, const int32_t* re,
                const int32_t* qb, const int32_t* qe) {
     Engine* e = (Engine*)h;
+    e->n_scored += n;
     for (int32_t i = 0; i < n; ++i) {
         auto& em = e->emission[i];
         if (em.second >= 0) {
@@ -886,6 +891,7 @@ void cand_post(void* h, int32_t n, const int32_t* scores,
         auto& em = e->emission[i];
         if (em.second >= 0) continue;
         FSM& f = e->fsms[em.first];
+        ++e->n_consumed;
         post_result(e, f, scores[i], rb[i], re[i], qb[i], qe[i]);
     }
     // every previously-active FSM advances: record walks consume their
@@ -903,11 +909,12 @@ void cand_post(void* h, int32_t n, const int32_t* scores,
 }
 
 // stage timers: [t_build, t_adv, t_lis, t_tb, n_lis, n_tb, n_trip]
-void cand_timers(void* h, double* out7) {
+void cand_timers(void* h, double* out9) {
     Engine* e = (Engine*)h;
-    out7[0] = e->t_build; out7[1] = e->t_adv; out7[2] = e->t_lis;
-    out7[3] = e->t_tb; out7[4] = (double)e->n_lis;
-    out7[5] = (double)e->n_tb; out7[6] = (double)e->n_trip;
+    out9[0] = e->t_build; out9[1] = e->t_adv; out9[2] = e->t_lis;
+    out9[3] = e->t_tb; out9[4] = (double)e->n_lis;
+    out9[5] = (double)e->n_tb; out9[6] = (double)e->n_trip;
+    out9[7] = (double)e->n_scored; out9[8] = (double)e->n_consumed;
 }
 
 int32_t cand_num_active(void* h) {
