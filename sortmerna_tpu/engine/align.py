@@ -176,6 +176,12 @@ def traverse_strand(
 
     from ..util import timed
     live = [i for i in ordinals]
+    # per-strand hit accumulators (native path): one array triple per
+    # pass, merged/grouped lazily with a single stable sort
+    acc_read: List[np.ndarray] = []
+    acc_kid: List[np.ndarray] = []
+    acc_win: List[np.ndarray] = []
+    merged = None
     while live:
         # ---- collect this pass's unsearched windows (bulk)
       with timed("trav_enum"):
@@ -204,6 +210,7 @@ def traverse_strand(
             # attribute hits; one hit_seeds increment per window with
             # >=1 id (paralleltraversal.cpp:242-249)
             if len(hw):
+              with timed("trav_group"):
                 hit_read = probe_read[hw]
                 hit_pos = probe_pos[hw]
                 # distinct windows per read
@@ -261,6 +268,7 @@ def traverse_strand(
             trav[i].search = sflag
 
         # ---- pass advance (paralleltraversal.cpp:259-283)
+      with timed("trav_adv"):
         nxt_live = []
         for i in live:
             t = trav[i]

@@ -58,17 +58,21 @@ class NativeCandidateEngine:
         self.pos_pos = np.ascontiguousarray(ctx.pos_pos, np.uint32)
         self.mat = np.ascontiguousarray(mat, np.int8)
 
-        self.h = self.lib.cand_create(
-            self.pos_offsets.ctypes.data, self.pos_seq.ctypes.data,
-            self.pos_pos.ctypes.data,
-            self.refs_data.ctypes.data, self.refs_off.ctypes.data,
-            len(ctx.ref_seqs),
-            self.reads_data.ctypes.data, self.reads_off.ctypes.data,
-            len(reads),
-            opts.num_alignments, int(opts.is_best), opts.num_seeds,
-            opts.min_lis, opts.edges, int(opts.is_as_percent), opts.match,
-            int(ctx.minimal_score), ctx.lnwin, opts.gap_open, opts.gap_ext,
-            ctx.index_num, ctx.part_num, self.mat.ctypes.data)
+        from ..util import timed as _t1
+        with _t1("engine_init"):
+          self.h = self.lib.cand_create(
+              self.pos_offsets.ctypes.data, self.pos_seq.ctypes.data,
+              self.pos_pos.ctypes.data,
+              self.refs_data.ctypes.data, self.refs_off.ctypes.data,
+              len(ctx.ref_seqs),
+              self.reads_data.ctypes.data, self.reads_off.ctypes.data,
+              len(reads),
+              opts.num_alignments, int(opts.is_best), opts.num_seeds,
+              opts.min_lis, opts.edges, int(opts.is_as_percent),
+              opts.match,
+              int(ctx.minimal_score), ctx.lnwin, opts.gap_open,
+              opts.gap_ext,
+              ctx.index_num, ctx.part_num, self.mat.ctypes.data)
         self.lib.cand_set_threads(self.h, getattr(opts, "threads", 1))
 
     def close(self):
@@ -106,12 +110,30 @@ class NativeCandidateEngine:
     def run_pass_arrays(self, items, states: List[ReadState], sw_backend,
                         readstats: Readstats) -> Dict[int, bool]:
         """Array-form items: (ordinal, (kid_array, win_array))."""
+        n = len(items)
+        ords = np.fromiter((o for o, _ in items), np.int32, count=n)
+        hit_off = np.zeros(n + 1, dtype=np.int64)
+        for i, (_, (kids, _w)) in enumerate(items):
+            hit_off[i + 1] = hit_off[i] + len(kids)
+        kids_all = np.ascontiguousarray(
+            np.concatenate([k for _, (k, _) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
+        wins_all = np.ascontiguousarray(
+            np.concatenate([w for _, (_, w) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
+        return self.run_pass_packed(ords, hit_off, kids_all, wins_all,
+                                    states, sw_backend, readstats)
+
+    def run_pass_packed(self, ords: np.ndarray, hit_off: np.ndarray,
+                        kids_all: np.ndarray, wins_all: np.ndarray,
+                        states: List[ReadState], sw_backend,
+                        readstats: Readstats) -> Dict[int, bool]:
+        """Packed form: ords int32[n] ascending, hit_off int64[n+1],
+        kids/wins int64 concatenated per-read hit lists."""
         lib = self.lib
         base_aligned = lib.cand_stat_num_aligned(self.h)
 
         from ..util import timed as _timed
         with _timed("fsm_start"):
-            self._start_items(items, states)
+            self._start_packed(ords, hit_off, kids_all, wins_all, states)
 
         # SW waves (main + speculative jobs ride together)
         from ..util import timed
@@ -142,34 +164,33 @@ class NativeCandidateEngine:
                               qb.ctypes.data, qe.ctypes.data)
 
         with _timed("fsm_apply"):
-            return self._collect(items, states, readstats, base_aligned)
+            return self._collect(ords, states, readstats, base_aligned)
 
-    def _start_items(self, items, states):
+    def _start_packed(self, ords, hit_off, kids_all, wins_all, states):
         lib = self.lib
-        n = len(items)
+        n = len(ords)
         if not n:
             return
-        ords = np.zeros(n, np.int32)
-        hit_off = np.zeros(n + 1, np.int64)
+        hit_off = np.ascontiguousarray(hit_off, np.int64)
+        kids_all = np.ascontiguousarray(kids_all, np.int64)
+        wins_all = np.ascontiguousarray(wins_all, np.int64)
+        ords = np.ascontiguousarray(ords, np.int32)
         st_off = np.zeros(n + 1, np.int64)
-        state5 = np.zeros((n, 5), np.int32)
+        state5 = np.empty((n, 5), np.int32)
+        state5l = []
         sc_list, ix_list = [], []
-        for i, (ord_, (kids, wins)) in enumerate(items):
-            st = states[ord_]
-            ords[i] = ord_
-            hit_off[i + 1] = hit_off[i] + len(kids)
-            st_off[i + 1] = st_off[i] + len(st.alignments)
-            state5[i] = (st.best, st.max_sw_count, int(st.is_hit),
-                         st.min_index, st.max_index)
+        acc = 0
+        ords_l = ords.tolist()
+        for i in range(n):
+            st = states[ords_l[i]]
+            acc += len(st.alignments)
+            st_off[i + 1] = acc
+            state5l.append((st.best, st.max_sw_count, int(st.is_hit),
+                            st.min_index, st.max_index))
             for a in st.alignments:
                 sc_list.append(a.score1)
                 ix_list.append(a.index_num)
-        kids_all = np.ascontiguousarray(
-            np.concatenate([k for _, (k, _) in items]), np.int64) \
-            if hit_off[-1] else np.zeros(1, np.int64)
-        wins_all = np.ascontiguousarray(
-            np.concatenate([w for _, (_, w) in items]), np.int64) \
-            if hit_off[-1] else np.zeros(1, np.int64)
+        state5 = np.asarray(state5l, np.int32)
         scores = np.asarray(sc_list or [0], np.int32)
         idxn = np.asarray(ix_list or [0], np.int32)
         lib.cand_start_batch(
@@ -178,12 +199,12 @@ class NativeCandidateEngine:
             st_off.ctypes.data, scores.ctypes.data, idxn.ctypes.data,
             state5.ctypes.data)
 
-    def _collect(self, items, states, readstats, base_aligned):
+    def _collect(self, ords, states, readstats, base_aligned):
         lib = self.lib
         # collect search flags + state updates (one batched export)
         out: Dict[int, bool] = {}
-        n_items = len(items)
-        ords = np.fromiter((o for o, _ in items), np.int32, count=n_items)
+        n_items = len(ords)
+        ords = np.ascontiguousarray(ords, np.int32)
         st6 = np.zeros((n_items, 6), np.int32)
         if n_items:
             lib.cand_read_states_batch(self.h, ords.ctypes.data, n_items,

@@ -204,12 +204,17 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000,
                 # too-short accounting (processor.cpp:109-114)
                 ctx.readstats.num_short += int(
                     (rbatch.lens < pctx.lnwin).sum())
-                align_part(batch, bstates, part, pctx, ctx.engine_opts,
-                           skips, sw_backend, ctx.readstats, batch=rbatch)
+                from ..util import timed as _t
+                with _t("align_part"):
+                    align_part(batch, bstates, part, pctx,
+                               ctx.engine_opts, skips, sw_backend,
+                               ctx.readstats, batch=rbatch)
                 if journal is not None:
                     journal.append(idx_num, part_num, b0, bstates,
                                    ctx.readstats)
-    materialize_cigars(ctx)
+    from ..util import timed as _t2
+    with _t2("cigar_mat"):
+        materialize_cigars(ctx)
 
 
 def materialize_cigars(ctx: RunContext) -> None:

@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -142,17 +143,37 @@ int banded_traceback_batch(
     const int32_t* scores, const int32_t* bands,
     int n, int gap_open, int gap_ext, const int8_t* mat,
     uint32_t* cigar_out, int cigar_cap, int32_t* cigar_len) {
-    int bad = 0;
-    for (int k = 0; k < n; ++k) {
-        int refLen = (int)(ref_off[k + 1] - ref_off[k]);
-        int readLen = (int)(query_off[k + 1] - query_off[k]);
-        int r = traceback_one(ref_data + ref_off[k], refLen,
-                              query_data + query_off[k], readLen,
-                              scores[k], gap_open, gap_ext, bands[k], mat,
-                              cigar_out + (size_t)k * cigar_cap, cigar_cap);
-        cigar_len[k] = r;
-        if (r < 0) ++bad;
+    // alignments are independent; partition across hardware threads
+    // (survivor batches run to ~100K per 100K reads)
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 8) nt = 8;
+    if (n < 256) nt = 1;
+    std::vector<int> bads(nt, 0);
+    auto work = [&](int t) {
+        int lo = (int)((int64_t)n * t / nt);
+        int hi = (int)((int64_t)n * (t + 1) / nt);
+        for (int k = lo; k < hi; ++k) {
+            int refLen = (int)(ref_off[k + 1] - ref_off[k]);
+            int readLen = (int)(query_off[k + 1] - query_off[k]);
+            int r = traceback_one(
+                ref_data + ref_off[k], refLen,
+                query_data + query_off[k], readLen,
+                scores[k], gap_open, gap_ext, bands[k], mat,
+                cigar_out + (size_t)k * cigar_cap, cigar_cap);
+            cigar_len[k] = r;
+            if (r < 0) ++bads[t];
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; ++t) ths.emplace_back(work, t);
+        for (auto& th : ths) th.join();
     }
+    int bad = 0;
+    for (int b : bads) bad += b;
     return bad;
 }
 
