@@ -1,0 +1,64 @@
+"""Partition invariance at scale (t3/t41-style, scripts/t3.jinja:25-40).
+
+The read partition (which reads align) must not depend on execution
+geometry: batch size (unit boundaries + journal checkpoints), host
+thread count, or read-shard layout.  100K set2 reads vs
+silva-arc-16s-id95 on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from sortmerna_tpu.options import RunOptions
+from sortmerna_tpu.engine.run import prepare, run_align
+
+DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
+SET2 = ("/root/reference/data/"
+        "set2_environmental_study_550_amplicon.fasta.gz")
+
+
+@pytest.fixture(scope="module")
+def idx_cache(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("idx"))
+
+
+def _run(idx_cache, batch_size=100000, threads=1, shards=None):
+    opts = RunOptions(ref_files=[DB], reads_files=[SET2],
+                      idx_dir=idx_cache, num_proc_thread=threads)
+    ctx = prepare(opts)
+    if shards:
+        import jax
+
+        from sortmerna_tpu.parallel.dist import run_align_sharded
+        from sortmerna_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(shards, devices=jax.devices("cpu")[:shards])
+        run_align_sharded(ctx, mesh, n_shards=shards)
+    else:
+        run_align(ctx, batch_size=batch_size)
+    hits = np.fromiter((s.is_hit for s in ctx.states), bool,
+                       count=len(ctx.states))
+    n_aln = sum(len(s.alignments) for s in ctx.states)
+    return hits, n_aln, ctx.readstats
+
+
+def test_partition_invariance_100k(idx_cache):
+    base_hits, base_aln, base_rs = _run(idx_cache)
+    assert base_hits.sum() > 10000, "degenerate workload"
+
+    # odd batch size -> different unit boundaries
+    h2, a2, _ = _run(idx_cache, batch_size=7777)
+    np.testing.assert_array_equal(base_hits, h2)
+    assert a2 == base_aln
+
+    # host threads
+    h3, a3, rs3 = _run(idx_cache, threads=4)
+    np.testing.assert_array_equal(base_hits, h3)
+    assert a3 == base_aln
+    assert rs3.num_aligned == base_rs.num_aligned
+
+    # read shards over a 4-device mesh with psum'd stats
+    h4, a4, rs4 = _run(idx_cache, shards=4)
+    np.testing.assert_array_equal(base_hits, h4)
+    assert a4 == base_aln
+    assert rs4.num_aligned == base_rs.num_aligned
+    assert rs4.reads_matched_per_db == base_rs.reads_matched_per_db
