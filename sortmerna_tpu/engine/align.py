@@ -150,6 +150,11 @@ def traverse_strand(
     Vectorized over reads: window enumeration, packing and hit
     attribution happen as bulk array ops over a concatenated per-strand
     buffer; the per-read pass scheduling stays scalar (cheap)."""
+    if native_engine is not None:
+        return _traverse_strand_vec(
+            reads, states, ordinals, forward, searcher, ctx, opts,
+            skiplengths, backend, readstats, is_last_strand,
+            native_engine, batch)
     lnwin = ctx.lnwin
     trav: Dict[int, _TravState] = {}
 
@@ -176,12 +181,6 @@ def traverse_strand(
 
     from ..util import timed
     live = [i for i in ordinals]
-    # per-strand hit accumulators (native path): one array triple per
-    # pass, merged/grouped lazily with a single stable sort
-    acc_read: List[np.ndarray] = []
-    acc_kid: List[np.ndarray] = []
-    acc_win: List[np.ndarray] = []
-    merged = None
     while live:
         # ---- collect this pass's unsearched windows (bulk)
       with timed("trav_enum"):
@@ -231,39 +230,19 @@ def traverse_strand(
                         (hid[s0:s1], hit_pos[s0:s1]))
 
         # ---- LIS/SW stage for reads whose seed count reaches threshold
-        if native_engine is not None:
-          with timed("trav_items"):
-            items = []
-            for i in live:
-                if states[i].hit_seeds >= opts.num_seeds:
-                    t = trav[i]
-                    if len(t.np_hits) == 1:
-                        kid_arr, win_arr = t.np_hits[0]
-                    else:
-                        kid_arr = np.concatenate(
-                            [h[0] for h in t.np_hits]) if t.np_hits \
-                            else np.zeros(0, np.int64)
-                        win_arr = np.concatenate(
-                            [h[1] for h in t.np_hits]) if t.np_hits \
-                            else np.zeros(0, np.int64)
-                        t.np_hits = [(kid_arr, win_arr)]
-                    items.append((i, (kid_arr, win_arr)))
-          flags = native_engine.run_pass_arrays(items, states, backend,
-                                                readstats)
-        else:
-            for i in live:
-                t = trav[i]
-                for kid_arr, win_arr in t.np_hits:
-                    t.hits.extend(zip(kid_arr.tolist(), win_arr.tolist()))
-                t.np_hits = []
-            gens = []
-            for i in live:
-                if states[i].hit_seeds >= opts.num_seeds:
-                    max_sw = len(reads[i]) * opts.match
-                    gens.append((i, compute_lis_alignment(
-                        reads[i], states[i], trav[i].hits, forward, ctx,
-                        opts, readstats, max_sw)))
-            flags = run_candidate_waves(gens, backend)
+        for i in live:
+            t = trav[i]
+            for kid_arr, win_arr in t.np_hits:
+                t.hits.extend(zip(kid_arr.tolist(), win_arr.tolist()))
+            t.np_hits = []
+        gens = []
+        for i in live:
+            if states[i].hit_seeds >= opts.num_seeds:
+                max_sw = len(reads[i]) * opts.match
+                gens.append((i, compute_lis_alignment(
+                    reads[i], states[i], trav[i].hits, forward, ctx,
+                    opts, readstats, max_sw)))
+        flags = run_candidate_waves(gens, backend)
         for i, sflag in flags.items():
             trav[i].search = sflag
 
@@ -290,7 +269,11 @@ def traverse_strand(
                 nxt_live.append(i)
         live = nxt_live
 
-    # ---- done conditions (paralleltraversal.cpp:285-297)
+    _apply_done(states, ordinals, opts, ctx, is_last_strand)
+
+
+def _apply_done(states, ordinals, opts, ctx, is_last_strand) -> None:
+    """Done conditions (paralleltraversal.cpp:285-297)."""
     for i in ordinals:
         st = states[i]
         if opts.num_alignments > 0:
@@ -302,6 +285,164 @@ def traverse_strand(
             if (ctx.is_last_index and ctx.is_last_part and is_last_strand
                     and len(st.alignments) > 0):
                 st.is_done = True
+
+
+def _traverse_strand_vec(
+    reads: List[ReadSeq],
+    states: List[ReadState],
+    ordinals: List[int],
+    forward: bool,
+    searcher: SeedSearcher,
+    ctx: PartContext,
+    opts: Opts,
+    skiplengths: Sequence[int],
+    backend,
+    readstats: Readstats,
+    is_last_strand: bool,
+    native_engine,
+    batch: "ReadBatch",
+) -> None:
+    """Native-engine traverse with ALL per-read bookkeeping as arrays.
+
+    Same per-read semantics as the scalar path
+    (paralleltraversal.cpp:95-297): the pass scheduler becomes a table
+    lookup over pass_n (the transition depends only on the shared
+    skiplengths), hit accumulation merges per-pass (read, kid, win)
+    triples with one stable sort, and eligible reads' packed hit lists
+    slice out via searchsorted + repeat/arange."""
+    from ..util import timed
+    lnwin = ctx.lnwin
+    n_all = batch.n
+    offs = batch.offs
+    lens = batch.lens
+    with timed("batch_enc03"):
+        concat = batch.concat03(forward)
+    pw = lnwin // 2
+    with timed("pack9"):
+        p9all = pack9_all(concat, pw)
+    searched = np.zeros(offs[-1], dtype=bool)
+
+    la = np.asarray(ordinals, dtype=np.int64)
+    for i in ordinals:
+        states[i].last_index = ctx.index_num
+        states[i].last_part = ctx.part_num
+
+    # scheduler state over ordinals
+    pass_n = np.zeros(n_all, dtype=np.int64)
+    win_shift = np.full(n_all, skiplengths[0], dtype=np.int64)
+    hs0 = np.zeros(n_all, dtype=np.int64)
+    if len(ordinals):
+        hs0[la] = np.fromiter((states[i].hit_seeds for i in ordinals),
+                              np.int64, count=len(ordinals))
+    hs = hs0.copy()
+
+    # pass transition tables (paralleltraversal.cpp:259-283): next pass
+    # and survives-to-next-pass, as functions of the current pass
+    next_tab = np.zeros(4, np.int64)
+    alive_tab = np.zeros(4, bool)
+    for p in range(3):
+        q = p
+        if q == 2:
+            next_tab[p], alive_tab[p] = 3, False
+            continue
+        while (q < 3 and skiplengths[q] == skiplengths[min(q + 1, 2)]
+               and q + 1 <= 2):
+            q += 1
+        q += 1
+        next_tab[p], alive_tab[p] = q, q <= 2
+    shift_tab = np.asarray(list(skiplengths[:3]) + [skiplengths[2]],
+                           np.int64)
+
+    # accumulated hits so far, sorted by read (stable across passes)
+    m_read = m_kid = m_win = None
+    while len(la):
+        # ---- this pass's unsearched windows (bulk)
+        with timed("trav_enum"):
+            shifts = win_shift[la]
+            numwin = (lens[la] - lnwin + shifts) // shifts
+            total = int(numwin.sum())
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(numwin) - numwin, numwin))
+            rd = np.repeat(la, numwin)
+            pos = within * np.repeat(shifts, numwin)
+            gidx = offs[rd] + pos
+            fresh = ~searched[gidx]
+            searched[gidx] = True
+            probe_read = rd[fresh]
+            probe_pos = pos[fresh]
+            gsel = gidx[fresh]
+
+        if len(probe_read):
+            w1 = p9all[gsel]
+            w2 = p9all[gsel + pw]
+            with timed("probe"):
+                hw, hid = searcher.search_windows(w1, w2)
+            if len(hw):
+                with timed("trav_group"):
+                    # one hit_seeds increment per distinct window with
+                    # >=1 id (paralleltraversal.cpp:242-249)
+                    hs += np.bincount(probe_read[np.unique(hw)],
+                                      minlength=n_all)
+                    hit_read = probe_read[hw]
+                    hit_pos = probe_pos[hw]
+                    if m_read is None:
+                        m_read, m_kid, m_win = hit_read, hid, hit_pos
+                    else:
+                        m_read = np.concatenate([m_read, hit_read])
+                        m_kid = np.concatenate([m_kid, hid])
+                        m_win = np.concatenate([m_win, hit_pos])
+                        order = np.argsort(m_read, kind="stable")
+                        m_read = m_read[order]
+                        m_kid = m_kid[order]
+                        m_win = m_win[order]
+
+        # ---- LIS/SW for reads at the seed threshold: slice their
+        # accumulated hits out of the merged triples in packed form
+        with timed("trav_items"):
+            elig = la[hs[la] >= opts.num_seeds]
+            if len(elig):
+                if m_read is not None:
+                    s0 = np.searchsorted(m_read, elig, "left")
+                    s1 = np.searchsorted(m_read, elig, "right")
+                    cnt = s1 - s0
+                    hit_off = np.zeros(len(elig) + 1, np.int64)
+                    np.cumsum(cnt, out=hit_off[1:])
+                    gather = (np.arange(int(hit_off[-1]), dtype=np.int64)
+                              - np.repeat(hit_off[:-1], cnt)
+                              + np.repeat(s0, cnt))
+                    kids_all = np.ascontiguousarray(m_kid[gather],
+                                                    np.int64)
+                    wins_all = np.ascontiguousarray(m_win[gather],
+                                                    np.int64)
+                else:
+                    hit_off = np.zeros(len(elig) + 1, np.int64)
+                    kids_all = np.zeros(1, np.int64)
+                    wins_all = np.zeros(1, np.int64)
+        sflags = None
+        if len(elig):
+            sflags = native_engine.run_pass_packed(
+                elig.astype(np.int32), hit_off, kids_all, wins_all,
+                states, backend, readstats)
+
+        # ---- pass advance (paralleltraversal.cpp:259-283)
+        with timed("trav_adv"):
+            keep = np.ones(len(la), bool)
+            if sflags is not None:
+                stop = elig[~np.asarray(sflags, bool)]
+                if len(stop):
+                    keep[np.searchsorted(la, stop)] = False
+            la2 = la[keep]
+            p = pass_n[la2]
+            pass_n[la2] = next_tab[p]
+            la = la2[alive_tab[p]]
+            win_shift[la] = shift_tab[pass_n[la]]
+
+    # write back hit_seeds for reads that gained seeds this strand
+    changed = np.flatnonzero(hs != hs0)
+    for i in changed.tolist():
+        states[i].hit_seeds = int(hs[i])
+
+    _apply_done(states, ordinals, opts, ctx, is_last_strand)
 
 
 def align_part(

@@ -74,6 +74,13 @@ class NativeCandidateEngine:
               opts.gap_ext,
               ctx.index_num, ctx.part_num, self.mat.ctypes.data)
         self.lib.cand_set_threads(self.h, getattr(opts, "threads", 1))
+        # per-read import tracking: once a read's state has been sent to
+        # the engine (which keeps its own copy authoritative for its
+        # lifetime, FSM.managed), later passes skip the python-side
+        # attribute walk; _st5 mirrors the last state seen per read so
+        # _collect only writes back genuinely-changed rows
+        self._sent = np.zeros(self.n_reads, bool)
+        self._st5 = np.zeros((self.n_reads, 5), np.int32)
 
     def close(self):
         if self.h:
@@ -119,15 +126,17 @@ class NativeCandidateEngine:
             np.concatenate([k for _, (k, _) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
         wins_all = np.ascontiguousarray(
             np.concatenate([w for _, (_, w) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
-        return self.run_pass_packed(ords, hit_off, kids_all, wins_all,
-                                    states, sw_backend, readstats)
+        flags = self.run_pass_packed(ords, hit_off, kids_all, wins_all,
+                                     states, sw_backend, readstats)
+        return {int(o): bool(f) for o, f in zip(ords, flags)}
 
     def run_pass_packed(self, ords: np.ndarray, hit_off: np.ndarray,
                         kids_all: np.ndarray, wins_all: np.ndarray,
                         states: List[ReadState], sw_backend,
-                        readstats: Readstats) -> Dict[int, bool]:
+                        readstats: Readstats) -> np.ndarray:
         """Packed form: ords int32[n] ascending, hit_off int64[n+1],
-        kids/wins int64 concatenated per-read hit lists."""
+        kids/wins int64 concatenated per-read hit lists.  Returns the
+        per-item search flags as a bool array aligned with ``ords``."""
         lib = self.lib
         base_aligned = lib.cand_stat_num_aligned(self.h)
 
@@ -176,21 +185,23 @@ class NativeCandidateEngine:
         wins_all = np.ascontiguousarray(wins_all, np.int64)
         ords = np.ascontiguousarray(ords, np.int32)
         st_off = np.zeros(n + 1, np.int64)
-        state5 = np.empty((n, 5), np.int32)
-        state5l = []
+        state5 = np.zeros((n, 5), np.int32)
         sc_list, ix_list = [], []
-        acc = 0
-        ords_l = ords.tolist()
-        for i in range(n):
-            st = states[ords_l[i]]
-            acc += len(st.alignments)
-            st_off[i + 1] = acc
-            state5l.append((st.best, st.max_sw_count, int(st.is_hit),
-                            st.min_index, st.max_index))
-            for a in st.alignments:
-                sc_list.append(a.score1)
-                ix_list.append(a.index_num)
-        state5 = np.asarray(state5l, np.int32)
+        new_rows = np.flatnonzero(~self._sent[ords])
+        if len(new_rows):
+            ords_l = ords.tolist()
+            cnts = np.zeros(n, np.int64)
+            for i in new_rows.tolist():
+                st = states[ords_l[i]]
+                cnts[i] = len(st.alignments)
+                state5[i] = (st.best, st.max_sw_count, int(st.is_hit),
+                             st.min_index, st.max_index)
+                for a in st.alignments:
+                    sc_list.append(a.score1)
+                    ix_list.append(a.index_num)
+            np.cumsum(cnts, out=st_off[1:])
+            self._st5[ords[new_rows]] = state5[new_rows]
+            self._sent[ords[new_rows]] = True
         scores = np.asarray(sc_list or [0], np.int32)
         idxn = np.asarray(ix_list or [0], np.int32)
         lib.cand_start_batch(
@@ -199,21 +210,25 @@ class NativeCandidateEngine:
             st_off.ctypes.data, scores.ctypes.data, idxn.ctypes.data,
             state5.ctypes.data)
 
-    def _collect(self, ords, states, readstats, base_aligned):
+    def _collect(self, ords, states, readstats, base_aligned
+                 ) -> np.ndarray:
         lib = self.lib
         # collect search flags + state updates (one batched export)
-        out: Dict[int, bool] = {}
         n_items = len(ords)
         ords = np.ascontiguousarray(ords, np.int32)
         st6 = np.zeros((n_items, 6), np.int32)
         if n_items:
             lib.cand_read_states_batch(self.h, ords.ctypes.data, n_items,
                                        st6.ctypes.data)
-        st6l = st6.tolist()
-        for i in range(n_items):
-            ord_ = int(ords[i])
-            row = st6l[i]
-            out[ord_] = bool(row[0])
+        out = st6[:, 0].astype(bool)
+        # push back only rows the engine actually changed vs the last
+        # state seen per read (the common read has no state delta)
+        dirty = np.flatnonzero(
+            (st6[:, 1:] != self._st5[ords]).any(axis=1))
+        self._st5[ords[dirty]] = st6[dirty, 1:]
+        st6l = st6[dirty].tolist()
+        ords_d = ords[dirty].tolist()
+        for ord_, row in zip(ords_d, st6l):
             st = states[ord_]
             st.best = row[1]
             st.max_sw_count = row[2]

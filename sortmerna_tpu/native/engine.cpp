@@ -128,6 +128,11 @@ struct FSM {
     std::vector<int32_t> idxnums;    // their index_num values
     int min_index = 0, max_index = 0;
     bool search = true;              // return value
+    // true once this engine has run the read: its own copy of the
+    // mutable read state is newer than anything the caller could
+    // re-import, so later passes skip the import (the python driver
+    // passes dummy state rows for managed reads)
+    bool managed = false;
     // candidate machinery
     std::vector<std::pair<uint32_t, uint32_t>> cands;   // (seq, freq)
     size_t k = 0;
@@ -711,15 +716,29 @@ static bool start_one(Engine* e, int32_t ord,
                       const int32_t* stored_idxnums,
                       int32_t min_index, int32_t max_index, Scratch& sc) {
     FSM& f = e->fsms[ord];
-    f = FSM();
+    if (f.managed) {
+        // carry the engine-authoritative read state through the reset
+        FSM nf;
+        nf.best = f.best;
+        nf.max_sw_count = f.max_sw_count;
+        nf.is_hit = f.is_hit;
+        nf.scores = std::move(f.scores);
+        nf.idxnums = std::move(f.idxnums);
+        nf.min_index = f.min_index;
+        nf.max_index = f.max_index;
+        f = std::move(nf);
+    } else {
+        f = FSM();
+        f.best = best;
+        f.max_sw_count = max_sw_count;
+        f.is_hit = is_hit != 0;
+        f.scores.assign(stored_scores, stored_scores + n_stored);
+        f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
+        f.min_index = min_index;
+        f.max_index = max_index;
+    }
     f.ord = ord;
-    f.best = best;
-    f.max_sw_count = max_sw_count;
-    f.is_hit = is_hit != 0;
-    f.scores.assign(stored_scores, stored_scores + n_stored);
-    f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
-    f.min_index = min_index;
-    f.max_index = max_index;
+    f.managed = true;
     double tb0 = now_s();
     build_cands(e, f, kids, wins, n_hits);
     sc.t_build += now_s() - tb0;
