@@ -41,6 +41,7 @@ N_READS = int(os.environ.get("BENCH_READS", "100000"))
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 HARD_EXIT_S = float(os.environ.get("BENCH_HARD_EXIT_S", "560"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "25000"))
+CHUNK0 = int(os.environ.get("BENCH_CHUNK0", "5000"))
 
 T0 = time.time()
 
@@ -176,14 +177,17 @@ def main():
     if timers_enabled():
         log("warmup timers: %s" % timers_report())
 
-    # Chunked measurement: update partials after every chunk.
+    # Chunked measurement: update partials after every chunk.  The first
+    # chunk is small so a representative cumulative rate exists early
+    # (the watchdog's partial line improves from there).
     _state["stage"] = "measure"
     TIMERS.clear()
     n = len(ctx.reads)
     done = 0
     t_align = 0.0
+    first_chunk = min(CHUNK0, CHUNK)
     while done < n:
-        hi = min(done + CHUNK, n)
+        hi = min(done + (first_chunk if done == 0 else CHUNK), n)
         t = time.time()
         run_align(slice_ctx(done, hi), sw_backend=backend)
         dt = time.time() - t

@@ -150,6 +150,9 @@ def traverse_strand(
     Vectorized over reads: window enumeration, packing and hit
     attribution happen as bulk array ops over a concatenated per-strand
     buffer; the per-read pass scheduling stays scalar (cheap)."""
+    if batch is None:
+        from .read import ReadBatch
+        batch = ReadBatch(reads)
     if native_engine is not None:
         return _traverse_strand_vec(
             reads, states, ordinals, forward, searcher, ctx, opts,
@@ -160,9 +163,6 @@ def traverse_strand(
 
     # concatenated 03 sequences + packed 9-mers at every position
     n_all = len(reads)
-    if batch is None:
-        from .read import ReadBatch
-        batch = ReadBatch(reads)
     offs = batch.offs
     lens = batch.lens
     from ..util import timed as _t
@@ -388,13 +388,27 @@ def _traverse_strand_vec(
                     if m_read is None:
                         m_read, m_kid, m_win = hit_read, hid, hit_pos
                     else:
-                        m_read = np.concatenate([m_read, hit_read])
-                        m_kid = np.concatenate([m_kid, hid])
-                        m_win = np.concatenate([m_win, hit_pos])
-                        order = np.argsort(m_read, kind="stable")
-                        m_read = m_read[order]
-                        m_kid = m_kid[order]
-                        m_win = m_win[order]
+                        # both runs are already read-sorted (la ascending,
+                        # window/probe order preserved), so a stable merge
+                        # of two sorted runs replaces the full argsort;
+                        # existing hits sort before new ones on ties
+                        total = len(m_read) + len(hit_read)
+                        pos_old = (np.arange(len(m_read), dtype=np.int64)
+                                   + np.searchsorted(hit_read, m_read,
+                                                     "left"))
+                        pos_new = (np.arange(len(hit_read), dtype=np.int64)
+                                   + np.searchsorted(m_read, hit_read,
+                                                     "right"))
+                        nr = np.empty(total, m_read.dtype)
+                        nk = np.empty(total, m_kid.dtype)
+                        nw = np.empty(total, m_win.dtype)
+                        nr[pos_old] = m_read
+                        nr[pos_new] = hit_read
+                        nk[pos_old] = m_kid
+                        nk[pos_new] = hid
+                        nw[pos_old] = m_win
+                        nw[pos_new] = hit_pos
+                        m_read, m_kid, m_win = nr, nk, nw
 
         # ---- LIS/SW for reads at the seed threshold: slice their
         # accumulated hits out of the merged triples in packed form
@@ -430,6 +444,9 @@ def _traverse_strand_vec(
             if sflags is not None:
                 stop = elig[~np.asarray(sflags, bool)]
                 if len(stop):
+                    # la is ascending by construction (ordinals ascending,
+                    # boolean filters preserve order) and elig slices out
+                    # of it, so searchsorted maps stop -> positions in la
                     keep[np.searchsorted(la, stop)] = False
             la2 = la[keep]
             p = pass_n[la2]
@@ -456,10 +473,10 @@ def align_part(
     readstats: Readstats,
     use_native: bool = True,
     batch: Optional["ReadBatch"] = None,
+    states_fresh: bool = False,
 ) -> None:
     """Process one index part for a batch of reads: both strands
     (align2, processor.cpp:128-147)."""
-    searcher = _make_searcher(part, opts)
     if batch is None:
         from .read import ReadBatch
         batch = ReadBatch(reads)
@@ -477,6 +494,25 @@ def align_part(
         # python path
         native_ok = max(len(s) for s in ctx.ref_seqs) < (1 << 24)
 
+    # fully-native part driver: the whole pass/strand loop runs in C++
+    # (native/driver.cpp); python only pumps device SW waves.  The
+    # device-probe configuration keeps the python traverse (its prober
+    # lives on the TPU).
+    if (native_ok and ctx.ref_seqs and batch.n
+            and not getattr(opts, "device_probe", False)
+            and getattr(part, "seed_win_len", 18) == 18):
+        from .part_driver import NativePartDriver
+        from ..util import timed
+        with timed("part_driver"):
+            drv = NativePartDriver(part, ctx, opts, batch, states,
+                                   skiplengths, states_fresh=states_fresh)
+            try:
+                drv.run(backend, states, readstats)
+            finally:
+                drv.close()
+        return
+
+    searcher = _make_searcher(part, opts)
     for count in range(num_strands):
         forward = not ((single and opts.is_reverse) or count == 1)
         is_last = single or count == 1

@@ -9,8 +9,8 @@ replace-min) that are applied to the Python ReadState objects.
 
 from __future__ import annotations
 
-import ctypes
-from typing import Dict, List, Sequence, Tuple
+
+from typing import List
 
 import numpy as np
 
@@ -78,7 +78,12 @@ class NativeCandidateEngine:
         # the engine (which keeps its own copy authoritative for its
         # lifetime, FSM.managed), later passes skip the python-side
         # attribute walk; _st5 mirrors the last state seen per read so
-        # _collect only writes back genuinely-changed rows
+        # _collect only writes back genuinely-changed rows.
+        # INVARIANT: while this engine is open, the managed fields of
+        # ReadState (best, max_sw_count, is_hit, min_index, max_index,
+        # alignments) must not be mutated from Python between passes --
+        # the engine's copy is authoritative and such mutations would be
+        # silently overwritten at the next _collect.
         self._sent = np.zeros(self.n_reads, bool)
         self._st5 = np.zeros((self.n_reads, 5), np.int32)
 
@@ -100,35 +105,6 @@ class NativeCandidateEngine:
                     e[1] += c
             self.lib.cand_destroy(self.h)
             self.h = None
-
-    def run_pass(self, items: Sequence[Tuple[int, list]],
-                 states: List[ReadState], sw_backend,
-                 readstats: Readstats) -> Dict[int, bool]:
-        """compute_lis_alignment for (ordinal, [(kid, win), ...]) items."""
-        conv = []
-        for ord_, hits in items:
-            kids = np.fromiter((h[0] for h in hits), np.int64,
-                               count=len(hits))
-            wins = np.fromiter((h[1] for h in hits), np.int64,
-                               count=len(hits))
-            conv.append((ord_, (kids, wins)))
-        return self.run_pass_arrays(conv, states, sw_backend, readstats)
-
-    def run_pass_arrays(self, items, states: List[ReadState], sw_backend,
-                        readstats: Readstats) -> Dict[int, bool]:
-        """Array-form items: (ordinal, (kid_array, win_array))."""
-        n = len(items)
-        ords = np.fromiter((o for o, _ in items), np.int32, count=n)
-        hit_off = np.zeros(n + 1, dtype=np.int64)
-        for i, (_, (kids, _w)) in enumerate(items):
-            hit_off[i + 1] = hit_off[i] + len(kids)
-        kids_all = np.ascontiguousarray(
-            np.concatenate([k for _, (k, _) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
-        wins_all = np.ascontiguousarray(
-            np.concatenate([w for _, (_, w) in items]), np.int64)             if n and hit_off[-1] else np.zeros(1, np.int64)
-        flags = self.run_pass_packed(ords, hit_off, kids_all, wins_all,
-                                     states, sw_backend, readstats)
-        return {int(o): bool(f) for o, f in zip(ords, flags)}
 
     def run_pass_packed(self, ords: np.ndarray, hit_off: np.ndarray,
                         kids_all: np.ndarray, wins_all: np.ndarray,
@@ -240,7 +216,7 @@ class NativeCandidateEngine:
         # materialize in one batched native call for survivors)
         n_act = lib.cand_num_actions(self.h)
         if n_act:
-            fields = np.zeros((n_act, 13), np.int32)
+            fields = np.zeros((n_act, 14), np.int32)
             woffs = np.zeros((n_act, 2), np.int64)
             lib.cand_export_actions(self.h, fields.ctypes.data,
                                     woffs.ctypes.data)

@@ -1,0 +1,301 @@
+"""Python pump for the native traverse driver (native/driver.cpp).
+
+One NativePartDriver covers one (index-part, read-batch): the C++ side
+owns the full multi-pass / both-strand traverse loop (window search,
+probing, hit bookkeeping, candidate FSMs -- paralleltraversal.cpp:81-297
++ alignment.cpp:100-509 semantics), and Python's only per-wave job is
+running the batched Smith-Waterman on the device:
+
+    while n := trav_pump():            # C++ advances to next device work
+        jobs -> sw_backend.batch_coords -> results back via cand_post
+
+Read state imports/exports happen ONCE per part (not per pass); accepted
+alignments export as action records applied to the ReadState objects at
+part end.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .. import native
+from .candidates import Opts, PartContext, Readstats
+from .read import Alignment, ReadState
+
+# buffer-table slot order -- must mirror enum Buf in native/driver.cpp
+_PART_BUFS = 22   # probe-table slots (SeedSearcher._cbufs order)
+
+
+def _part_probe_bufs(part):
+    """The 22 probe-table buffers in driver slot order, cached on the
+    part (identical across batches/strands)."""
+    cached = getattr(part, "_drv_bufs", None)
+    if cached is None:
+        cached = [np.ascontiguousarray(a) for a in (
+            part.f_exact_keys, part.f_exact_vals,
+            part.f_pref_keys, part.f_pref_start, part.f_pref_count,
+            part.r_exact_keys, part.r_exact_start, part.r_exact_count,
+            part.r_exact_zero,
+            part.r_pref_keys, part.r_pref_start, part.r_pref_count,
+            part.k19_keys, part.k19_vals,
+            part.r_ids, part.kmer_counts,
+            part.f19_offsets, part.f19_tails, part.f19_ids,
+            part.r19_offsets, part.r19_tails, part.r19_ids)]
+        part._drv_bufs = cached
+    return cached
+
+
+class NativePartDriver:
+    def __init__(self, part, ctx: PartContext, opts: Opts,
+                 batch, states: List[ReadState],
+                 skiplengths, states_fresh: bool = False):
+        self.lib = native.get_lib()
+        assert self.lib is not None
+        self.ctx = ctx
+        self.opts = opts
+        self.batch = batch
+        n = batch.n
+
+        pbufs = _part_probe_bufs(part)
+
+        cached = getattr(ctx, "_refs_concat", None)
+        if cached is None:
+            refs_off = np.zeros(len(ctx.ref_seqs) + 1, dtype=np.int64)
+            for i, s in enumerate(ctx.ref_seqs):
+                refs_off[i + 1] = refs_off[i] + len(s)
+            refs_data = (np.concatenate(
+                [np.asarray(s, np.uint8) for s in ctx.ref_seqs])
+                if ctx.ref_seqs else np.zeros(0, np.uint8))
+            cached = (refs_data, refs_off)
+            ctx._refs_concat = cached
+        self.refs_data, self.refs_off = cached
+
+        from ..util import timed
+        with timed("batch_enc"):
+            self.reads_off = np.ascontiguousarray(batch.offs, np.int64)
+            self.f03 = np.ascontiguousarray(batch.concat03(True))
+            self.r03 = np.ascontiguousarray(batch.concat03(False))
+            self.f04 = np.ascontiguousarray(batch.concat04(True))
+            self.r04 = np.ascontiguousarray(batch.concat04(False))
+
+        pos_offsets = np.ascontiguousarray(ctx.pos_offsets, np.int64)
+        pos_seq = np.ascontiguousarray(ctx.pos_seq, np.uint32)
+        pos_pos = np.ascontiguousarray(ctx.pos_pos, np.uint32)
+        from ..constants import scoring_matrix_5x5
+        mat = np.ascontiguousarray(scoring_matrix_5x5(
+            opts.match, opts.mismatch, opts.score_n), np.int8)
+        skips = np.ascontiguousarray(
+            np.asarray(list(skiplengths[:3]), np.int64))
+
+        # per-read state import (once per part).  A fresh batch (first
+        # part of a non-resumed run) synthesizes default state without
+        # walking 100K+ python objects.
+        with timed("state_import"):
+            if states_fresh:
+                state5 = np.zeros((n, 5), np.int32)
+                if opts.min_lis > 0:
+                    state5[:, 0] = opts.min_lis      # read.cpp:267
+                hit_seeds = np.zeros(n, np.int32)
+                is_done = np.zeros(n, np.uint8)
+                st_off = np.zeros(n + 1, np.int64)
+                scs = np.zeros(1, np.int32)
+                ixs = np.zeros(1, np.int32)
+            else:
+                state5 = np.zeros((n, 5), np.int32)
+                hit_seeds = np.zeros(n, np.int32)
+                is_done = np.zeros(n, np.uint8)
+                st_cnt = np.zeros(n, np.int64)
+                sc_l: List[int] = []
+                ix_l: List[int] = []
+                for i, st in enumerate(states):
+                    state5[i, 0] = st.best
+                    state5[i, 1] = st.max_sw_count
+                    state5[i, 2] = st.is_hit
+                    state5[i, 3] = st.min_index
+                    state5[i, 4] = st.max_index
+                    hit_seeds[i] = st.hit_seeds
+                    is_done[i] = st.is_done
+                    if st.alignments:
+                        st_cnt[i] = len(st.alignments)
+                        for a in st.alignments:
+                            sc_l.append(a.score1)
+                            ix_l.append(a.index_num)
+                st_off = np.zeros(n + 1, np.int64)
+                np.cumsum(st_cnt, out=st_off[1:])
+                scs = np.asarray(sc_l or [0], np.int32)
+                ixs = np.asarray(ix_l or [0], np.int32)
+        self._hit_seeds_in = hit_seeds
+        self._is_done_in = is_done
+
+        single = opts.is_forward ^ opts.is_reverse
+        num_strands = 1 if single else 2
+        first_forward = 0 if (single and opts.is_reverse) else 1
+
+        bufs_np = pbufs + [
+            pos_offsets, pos_seq, pos_pos, self.refs_data, self.refs_off,
+            self.reads_off, self.f03, self.r03, self.f04, self.r04,
+            state5, hit_seeds, is_done, st_off, scs, ixs, mat, skips]
+        self._keep = bufs_np            # lifetimes pinned to the driver
+        ptrs = np.asarray([a.ctypes.data for a in bufs_np], np.uint64)
+        ip = np.asarray([
+            n, len(ctx.ref_seqs),
+            len(pbufs[0]), len(pbufs[2]), len(pbufs[5]), len(pbufs[9]),
+            len(pbufs[12]),
+            opts.minoccur, int(opts.is_full_search),
+            max(1, getattr(opts, "threads", 1)),
+            opts.num_alignments, int(opts.is_best), opts.num_seeds,
+            opts.min_lis, opts.edges, int(opts.is_as_percent),
+            opts.match, int(ctx.minimal_score), ctx.lnwin,
+            opts.gap_open, opts.gap_ext, ctx.index_num, ctx.part_num,
+            num_strands, first_forward,
+            int(ctx.is_last_index), int(ctx.is_last_part)], np.int64)
+        from ..util import timed as _t
+        with _t("engine_init"):
+            self.h = self.lib.trav_create(ptrs.ctypes.data, ip.ctypes.data)
+        self.heng = self.lib.trav_engine(self.h)
+
+    # ------------------------------------------------------------------
+    def run(self, sw_backend, states: List[ReadState],
+            readstats: Readstats) -> None:
+        lib = self.lib
+        from ..util import timed
+        while True:
+            with timed("trav_pump"):
+                n = lib.trav_pump(self.h)
+            if n == 0:
+                break
+            fwd = lib.trav_strand(self.h)
+            job_read = np.zeros(n, np.int32)
+            q_off = np.zeros(n, np.int64)
+            q_len = np.zeros(n, np.int32)
+            r_off = np.zeros(n, np.int64)
+            r_len = np.zeros(n, np.int32)
+            minimal = np.zeros(n, np.int64)
+            with timed("fsm_jobs"):
+                m = lib.cand_next_jobs(
+                    self.heng, job_read.ctypes.data, q_off.ctypes.data,
+                    q_len.ctypes.data, r_off.ctypes.data,
+                    r_len.ctypes.data, minimal.ctypes.data)
+            assert m == n
+            q_data = self.f04 if fwd else self.r04
+            with timed("sw_wave"):
+                scores, rb, re, qb, qe = sw_backend.batch_coords(
+                    q_data, q_off, q_len,
+                    self.refs_data, r_off, r_len, minimal)
+            with timed("fsm_post"):
+                lib.cand_post(self.heng, n, scores.ctypes.data,
+                              rb.ctypes.data, re.ctypes.data,
+                              qb.ctypes.data, qe.ctypes.data)
+        from ..util import timed as _t
+        with _t("fsm_apply"):
+            self._export(states, readstats)
+
+    # ------------------------------------------------------------------
+    def _export(self, states: List[ReadState],
+                readstats: Readstats) -> None:
+        lib = self.lib
+        n = self.batch.n
+        out = np.zeros((n, 8), np.int32)
+        lib.trav_export(self.h, out.ctypes.data)
+        flags = out[:, 7]
+        managed = (flags & 1).astype(bool)
+        dirty = np.flatnonzero(
+            managed
+            | (out[:, 5] != self._hit_seeds_in)
+            | (out[:, 6] != self._is_done_in.astype(np.int32)))
+        rows = out[dirty].tolist()
+        for i, row in zip(dirty.tolist(), rows):
+            st = states[i]
+            st.best = row[0]
+            st.max_sw_count = row[1]
+            st.is_hit = bool(row[2])
+            st.min_index = row[3]
+            st.max_index = row[4]
+            st.hit_seeds = row[5]
+            st.is_done = bool(row[6])
+        touched = np.flatnonzero(flags & 2)
+        idx_num, part_num = self.ctx.index_num, self.ctx.part_num
+        for i in touched.tolist():
+            st = states[i]
+            st.last_index = idx_num
+            st.last_part = part_num
+
+        # actions -> Alignment records (CIGARs deferred; the traceback
+        # windows copy out now, materialized for survivors in one
+        # batched call, run.materialize_cigars)
+        n_act = lib.cand_num_actions(self.heng)
+        if n_act:
+            fields = np.zeros((n_act, 14), np.int32)
+            woffs = np.zeros((n_act, 2), np.int64)
+            lib.cand_export_actions(self.heng, fields.ctypes.data,
+                                    woffs.ctypes.data)
+            reads_off = self.reads_off
+            for i in range(n_act):
+                f = fields[i]
+                ord_ = int(f[0])
+                st = states[ord_]
+                fwd = bool(f[13])
+                q_data = self.f04 if fwd else self.r04
+                rw0, qw0 = int(woffs[i, 0]), int(woffs[i, 1])
+                aln = Alignment(
+                    index_num=idx_num,
+                    part=part_num,
+                    ref_num=int(f[4]),
+                    read_begin1=int(f[8]),
+                    read_end1=int(f[9]),
+                    ref_begin1=int(f[6]),
+                    ref_end1=int(f[7]),
+                    readlen=int(reads_off[ord_ + 1] - reads_off[ord_]),
+                    score1=int(f[5]),
+                    strand=fwd,
+                    cigar=None,
+                    tb=(self.refs_data[rw0:rw0 + int(f[10])].copy(),
+                        q_data[qw0:qw0 + int(f[11])].copy(),
+                        int(f[12])),
+                )
+                if f[1] == 0:
+                    st.alignments.append(aln)
+                else:
+                    st.alignments[int(f[2])] = aln
+                st.is_new_hit = True
+            lib.cand_clear_actions(self.heng)
+
+        readstats.num_aligned += int(lib.cand_stat_num_aligned(self.heng))
+        n_dbs = lib.cand_stat_num_dbs(self.heng)
+        if n_dbs:
+            dbs = np.zeros(n_dbs, np.int32)
+            deltas = np.zeros(n_dbs, np.int64)
+            lib.cand_stat_dbs(self.heng, dbs.ctypes.data,
+                              deltas.ctypes.data)
+            for d, v in zip(dbs, deltas):
+                readstats.reads_matched_per_db[int(d)] += int(v)
+
+    # ------------------------------------------------------------------
+    def close(self):
+        if self.h:
+            from ..util import TIMERS, timers_enabled
+            if timers_enabled():
+                t9 = np.zeros(9, np.float64)
+                self.lib.cand_timers(self.heng, t9.ctypes.data)
+                d9 = np.zeros(9, np.float64)
+                self.lib.trav_timers(self.h, d9.ctypes.data)
+                for k, v, c in (("cpp_build", t9[0], 1),
+                                ("cpp_advance", t9[1], 1),
+                                ("cpp_lis", t9[2], int(t9[4])),
+                                ("cpp_traceback", t9[3], int(t9[5])),
+                                ("cpp_triples", t9[6] / 1e9, int(t9[6])),
+                                ("sw_jobs_scored", 0.0, int(t9[7])),
+                                ("sw_jobs_consumed", 0.0, int(t9[8])),
+                                ("drv_pack", d9[0], 1),
+                                ("drv_enum", d9[1], int(d9[6])),
+                                ("drv_probe", d9[2], int(d9[7])),
+                                ("drv_attr", d9[3], 1),
+                                ("drv_start", d9[4], 1),
+                                ("drv_adv", d9[5], int(d9[8]))):
+                    e = TIMERS.setdefault(k, [0.0, 0])
+                    e[0] += float(v)
+                    e[1] += c
+            self.lib.trav_destroy(self.h)
+            self.h = None

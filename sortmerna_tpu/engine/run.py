@@ -29,28 +29,6 @@ from .candidates import Opts, PartContext, Readstats
 from .read import ReadSeq, ReadState
 
 
-def load_reads(opts: RunOptions) -> List[ReadSeq]:
-    """Load reads in the reference's processing order: paired files are
-    interleaved fwd/rev (processor.cpp:161, readfeed slot toggling)."""
-    per_file: List[List[ReadSeq]] = []
-    for fi, path in enumerate(opts.reads_files):
-        lst = []
-        for num, rec in enumerate(iter_fastx(path)):
-            lst.append(ReadSeq(rec.header, rec.sequence, rec.quality,
-                               fi, num))
-        per_file.append(lst)
-    if len(per_file) == 1:
-        return per_file[0]
-    assert len(per_file) == 2
-    if len(per_file[0]) != len(per_file[1]):
-        raise ValueError("paired reads files have different read counts")
-    out: List[ReadSeq] = []
-    for a, b in zip(per_file[0], per_file[1]):
-        out.append(a)
-        out.append(b)
-    return out
-
-
 @dataclass
 class RunContext:
     opts: RunOptions
@@ -204,11 +182,17 @@ def run_align(ctx: RunContext, sw_backend=None, batch_size: int = 100000,
                 # too-short accounting (processor.cpp:109-114)
                 ctx.readstats.num_short += int(
                     (rbatch.lens < pctx.lnwin).sum())
+                # first unit of a non-resumed run: states are still the
+                # prepare() defaults, so the part driver can synthesize
+                # its import arrays without walking the objects
+                fresh = (idx_num == 0 and part_num == 0
+                         and not done_units)
                 from ..util import timed as _t
                 with _t("align_part"):
                     align_part(batch, bstates, part, pctx,
                                ctx.engine_opts, skips, sw_backend,
-                               ctx.readstats, batch=rbatch)
+                               ctx.readstats, batch=rbatch,
+                               states_fresh=fresh)
                 if journal is not None:
                     journal.append(idx_num, part_num, b0, bstates,
                                    ctx.readstats)

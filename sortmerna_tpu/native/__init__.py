@@ -32,9 +32,12 @@ def _build() -> Optional[ctypes.CDLL]:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so = _BUILD_DIR / "libsmrtpu_native.so"
     srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp",
-            _SRC_DIR / "probe.cpp", _SRC_DIR / "gumbel.cpp"]
+            _SRC_DIR / "probe.cpp", _SRC_DIR / "gumbel.cpp",
+            _SRC_DIR / "driver.cpp"]
+    hdrs = [_SRC_DIR / "engine_core.hpp"]
     if (not so.exists()
-            or any(so.stat().st_mtime < s.stat().st_mtime for s in srcs)):
+            or any(so.stat().st_mtime < s.stat().st_mtime
+                   for s in srcs + hdrs)):
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
@@ -94,6 +97,19 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
+    lib.trav_create.restype = ctypes.c_void_p
+    lib.trav_create.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.trav_destroy.argtypes = [ctypes.c_void_p]
+    lib.trav_engine.restype = ctypes.c_void_p
+    lib.trav_engine.argtypes = [ctypes.c_void_p]
+    lib.trav_strand.restype = ctypes.c_int32
+    lib.trav_strand.argtypes = [ctypes.c_void_p]
+    lib.trav_pump.restype = ctypes.c_int32
+    lib.trav_pump.argtypes = [ctypes.c_void_p]
+    lib.trav_export.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.trav_timers.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cand_set_reads.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cand_set_strand.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx

@@ -19,7 +19,6 @@
 // reads_matched_per_db replacement quirk (alignment.cpp:454).
 
 #include <algorithm>
-#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -27,11 +26,9 @@
 #include <thread>
 #include <vector>
 
-// lightweight internal timers (SMR_TIMERS path; ~25ns per stamp)
-static inline double now_s() {
-    return std::chrono::duration<double>(
-        std::chrono::steady_clock::now().time_since_epoch()).count();
-}
+#include "engine_core.hpp"
+
+using namespace smr;   // Opts/Action/SpecJob/FSM/Engine/Scratch/now_s
 
 extern "C" int traceback_one_c(const uint8_t*, int, const uint8_t*, int,
                                int, int, int, int, const int8_t*,
@@ -40,162 +37,37 @@ extern "C" int traceback_one_c(const uint8_t*, int, const uint8_t*, int,
 namespace {
 
 // ---------------------------------------------------------------- LIS
-// find_lis (alignment.cpp:58-98)
-static void find_lis(const std::deque<std::pair<uint32_t, uint32_t>>& a,
-                     std::vector<uint32_t>& b) {
-    b.clear();
-    if (a.empty()) return;
-    std::vector<uint32_t> p(a.size(), 0);
-    b.push_back(0);
-    for (size_t i = 1; i < a.size(); ++i) {
-        if (a[b.back()].second < a[i].second) {
-            p[i] = b.back();
-            b.push_back((uint32_t)i);
-            continue;
+// Longest strictly-increasing run of read positions.  Outcome-equivalent
+// to the reference (alignment.cpp:58-98, see ops/lis.py for the
+// behavioral contract): patience piles keyed by read position with
+// lower_bound placement, a tie on a pile top keeps the earlier entry,
+// and the run is rebuilt through predecessor links from the last top.
+static void find_lis(const std::deque<std::pair<uint32_t, uint32_t>>& hits,
+                     std::vector<uint32_t>& out) {
+    out.clear();
+    if (hits.empty()) return;
+    std::vector<uint32_t> tops;      // read position topping each pile
+    std::vector<uint32_t> top_at;    // hit index topping each pile
+    std::vector<int32_t> prev(hits.size(), -1);
+    for (uint32_t i = 0; i < (uint32_t)hits.size(); ++i) {
+        uint32_t q = hits[i].second;
+        size_t pile = std::lower_bound(tops.begin(), tops.end(), q)
+                      - tops.begin();
+        if (pile == tops.size()) {
+            tops.push_back(q);
+            top_at.push_back(i);
+        } else if (q < tops[pile]) {
+            tops[pile] = q;
+            top_at[pile] = i;
+        } else {
+            continue;                // tie on the top: earlier entry wins
         }
-        size_t u = 0, v = b.size() - 1;
-        while (u < v) {
-            size_t c = (u + v) / 2;
-            if (a[b[c]].second < a[i].second) u = c + 1; else v = c;
-        }
-        if (a[i].second < a[b[u]].second) {
-            if (u > 0) p[i] = b[u - 1];
-            b[u] = (uint32_t)i;
-        }
+        if (pile) prev[i] = (int32_t)top_at[pile - 1];
     }
-    size_t u = b.size();
-    uint32_t v = b.back();
-    while (u--) { b[u] = v; v = p[v]; }
+    for (int32_t i = (int32_t)top_at.back(); i >= 0; i = prev[i])
+        out.push_back((uint32_t)i);
+    std::reverse(out.begin(), out.end());
 }
-
-struct Opts {
-    int num_alignments, is_best, num_seeds, min_lis, edges, is_as_percent;
-    int match_, lnwin, gap_open, gap_ext;
-    long minimal_score;
-    int index_num, part_num, strand_forward;
-    int8_t mat[25];
-};
-
-struct Action {
-    int32_t read_ord;
-    int32_t kind;        // 0 = append, 1 = replace
-    int32_t slot;        // replace: which alignment slot
-    int32_t first_hit;   // 1 if this made read.is_hit true
-    int32_t ref_num;
-    int32_t score;
-    int32_t rb, re, qb, qe;   // final (offset-corrected) coordinates
-    // deferred-traceback window (absolute offsets into refs/reads data):
-    // CIGARs are computed lazily for SURVIVING alignments only -- the
-    // replace-min churn of best-N bookkeeping (alignment.cpp:420-459)
-    // makes eager tracebacks ~3x the surviving count.
-    int64_t rw_off, qw_off;
-    int32_t rl, ql, band;
-};
-
-// Speculative SW job.  EVERY window-loop iteration's job geometry is a
-// static function of the hit lists: SW scores influence only whether a
-// job's result is CONSUMED (heuristic 1 skips, early-stop, best-N
-// budget), never its geometry -- the match_set/begin_ref evolution after
-// an align attempt is the same pop step whether or not the attempt
-// happened (alignment.cpp:486-506 runs unconditionally).  So all of a
-// read's potential SW jobs are enumerated up front and scored in ONE
-// device wave; the sequential replay then consumes exactly the subset
-// the reference would have issued.
-struct SpecJob {
-    size_t cand_k;
-    long aq, ar, head, tail, alen;
-    uint32_t ref;
-    int32_t score = -1, rb = -1, re = -1, qb = -1, qe = -1;
-    bool filled = false;
-};
-
-// One window-loop iteration, recorded during enumeration so the replay
-// never recomputes window geometry or LIS: `push` drives heuristic 1
-// (alignment.cpp:239-249), `spec` (>=0) is the SW job the iteration
-// issues when its num_seeds/min_lis gates passed.
-struct IterRec {
-    int32_t spec;      // index into FSM::spec, or -1 (no job this iter)
-    uint8_t push;      // did this iteration extend match_set?
-};
-
-struct FSM {
-    int32_t ord = -1;
-    // mutable read state
-    int best = 0;
-    int max_sw_count = 0;
-    bool is_hit = false;
-    std::vector<int32_t> scores;     // stored alignment scores (all parts)
-    std::vector<int32_t> idxnums;    // their index_num values
-    int min_index = 0, max_index = 0;
-    bool search = true;              // return value
-    // true once this engine has run the read: its own copy of the
-    // mutable read state is newer than anything the caller could
-    // re-import, so later passes skip the import (the python driver
-    // passes dummy state rows for managed reads)
-    bool managed = false;
-    // candidate machinery
-    std::vector<std::pair<uint32_t, uint32_t>> cands;   // (seq, freq)
-    size_t k = 0;
-    bool is_aligned = false;
-    bool is_search_candidates = true;
-    std::vector<std::pair<uint32_t, uint32_t>> hits_on_ref;
-    size_t it = 0;
-    std::deque<std::pair<uint32_t, uint32_t>> match_set;
-    int64_t begin_ref = 0, begin_read = 0;
-    // sorted (seq,pos,win) triples; per-candidate contiguous subranges
-    std::vector<uint64_t> trip;
-    std::vector<size_t> cand_begin, cand_end;
-    size_t spec_lo = 0;   // emission low-water mark into spec
-    // pending job geometry
-    long aq = 0, ar = 0, head = 0, tail = 0, alen = 0;
-    uint32_t cur_ref = 0;
-    int phase = 0;   // 0: start candidate k, 1: live window-loop top,
-                     // 2: awaiting SW result (live path), 3: done,
-                     // 4: record walk (waits in-place on unfilled spec)
-    std::vector<SpecJob> spec;
-    // enumeration records: per-candidate [rec_begin[k], rec_end[k])
-    // ranges into recs; cand_full[k]==0 means the candidate hit the
-    // speculation cap and replays through the live path instead.
-    std::vector<IterRec> recs;
-    std::vector<size_t> rec_begin, rec_end;
-    std::vector<uint8_t> cand_full;
-    size_t it_rec = 0;
-};
-
-struct Engine {
-    Opts o;
-    // part data
-    const int64_t* pos_off;
-    const uint32_t* pos_seq;
-    const uint32_t* pos_pos;
-    const uint8_t* refs_data;
-    const int64_t* refs_off;
-    int32_t n_refs;
-    const uint8_t* reads_data;
-    const int64_t* reads_off;
-    int32_t n_reads;
-    std::vector<FSM> fsms;
-    std::vector<int32_t> active;      // indices into fsms with pending job
-    // wave emission bookkeeping: (read ordinal, spec index or -1=main)
-    std::vector<std::pair<int32_t, int32_t>> emission;
-    std::vector<Action> actions;
-    // readstats deltas
-    int64_t d_num_aligned = 0;
-    std::map<int, int64_t> d_matched_per_db;
-    // stage timers/counters: build, lis, traceback, advance; job/lis counts
-    double t_build = 0, t_lis = 0, t_tb = 0, t_adv = 0;
-    int64_t n_lis = 0, n_tb = 0, n_trip = 0;
-    // device-work accounting: jobs scored on device vs results actually
-    // consumed by a state machine (speculation waste monitor)
-    int64_t n_scored = 0, n_consumed = 0;
-    int nthreads = 1;   // host threads for batched FSM start (--threads)
-};
-
-// per-thread stat accumulators (merged into Engine after joins)
-struct Scratch {
-    double t_build = 0, t_lis = 0, t_adv = 0;
-    int64_t n_lis = 0, n_trip = 0;
-};
 
 static int read_len(Engine* e, int ord) {
     return (int)(e->reads_off[ord + 1] - e->reads_off[ord]);
@@ -573,6 +445,7 @@ static void apply_result(Engine* e, FSM& f,
         a.qb = qb + (int32_t)aq;
         a.qe = qe + (int32_t)aq;
         a.first_hit = 0;
+        a.strand_forward = o.strand_forward;
 
         // deferred traceback window (clipped)
         a.rw_off = e->refs_off[ref] + (ar - head) + rb;
@@ -658,6 +531,64 @@ static void post_result(Engine* e, FSM& f, int32_t score,
 
 }  // namespace
 
+namespace smr {
+
+// FSM init + speculation + first advance for one read.  Touches ONLY
+// the FSM and the caller's Scratch, so batches can run it from worker
+// threads; returns true if the FSM is left waiting on device results.
+bool start_one(Engine* e, int32_t ord,
+               const int64_t* kids, const int64_t* wins,
+               int32_t n_hits,
+               int32_t best, int32_t max_sw_count, int32_t is_hit,
+               int32_t n_stored, const int32_t* stored_scores,
+               const int32_t* stored_idxnums,
+               int32_t min_index, int32_t max_index, Scratch& sc) {
+    FSM& f = e->fsms[ord];
+    if (f.managed) {
+        // carry the engine-authoritative read state through the reset
+        FSM nf;
+        nf.best = f.best;
+        nf.max_sw_count = f.max_sw_count;
+        nf.is_hit = f.is_hit;
+        nf.scores = std::move(f.scores);
+        nf.idxnums = std::move(f.idxnums);
+        nf.min_index = f.min_index;
+        nf.max_index = f.max_index;
+        f = std::move(nf);
+        f.managed = true;
+    } else {
+        f = FSM();
+        f.best = best;
+        f.max_sw_count = max_sw_count;
+        f.is_hit = is_hit != 0;
+        f.scores.assign(stored_scores, stored_scores + n_stored);
+        f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
+        f.min_index = min_index;
+        f.max_index = max_index;
+        f.managed = true;
+    }
+    f.ord = ord;
+    double tb0 = now_s();
+    build_cands(e, f, kids, wins, n_hits);
+    sc.t_build += now_s() - tb0;
+    sc.n_trip += (int64_t)f.trip.size();
+    speculate_all(e, f, sc);
+    double ta0 = now_s();
+    advance(e, f, sc);
+    sc.t_adv += now_s() - ta0;
+    return f.phase == 2 || f.phase == 4;
+}
+
+void merge_scratch(Engine* e, const Scratch& sc) {
+    e->t_build += sc.t_build;
+    e->t_lis += sc.t_lis;
+    e->t_adv += sc.t_adv;
+    e->n_lis += sc.n_lis;
+    e->n_trip += sc.n_trip;
+}
+
+}  // namespace smr
+
 extern "C" {
 
 void* cand_create(const int64_t* pos_off, const uint32_t* pos_seq,
@@ -693,6 +624,7 @@ void* cand_create(const int64_t* pos_off, const uint32_t* pos_seq,
     e->o.gap_ext = gap_ext;
     e->o.index_num = index_num;
     e->o.part_num = part_num;
+    e->o.strand_forward = 1;    // cand_set_strand switches per strand
     std::memcpy(e->o.mat, mat, 25);
     e->fsms.resize(n_reads);
     return e;
@@ -705,57 +637,13 @@ void cand_set_threads(void* h, int t) {
     ((Engine*)h)->nthreads = t < 1 ? 1 : t;
 }
 
-// FSM init + speculation + first advance for one read.  Touches ONLY
-// the FSM and the caller's Scratch, so batches can run it from worker
-// threads; returns true if the FSM is left waiting on device results.
-static bool start_one(Engine* e, int32_t ord,
-                      const int64_t* kids, const int64_t* wins,
-                      int32_t n_hits,
-                      int32_t best, int32_t max_sw_count, int32_t is_hit,
-                      int32_t n_stored, const int32_t* stored_scores,
-                      const int32_t* stored_idxnums,
-                      int32_t min_index, int32_t max_index, Scratch& sc) {
-    FSM& f = e->fsms[ord];
-    if (f.managed) {
-        // carry the engine-authoritative read state through the reset
-        FSM nf;
-        nf.best = f.best;
-        nf.max_sw_count = f.max_sw_count;
-        nf.is_hit = f.is_hit;
-        nf.scores = std::move(f.scores);
-        nf.idxnums = std::move(f.idxnums);
-        nf.min_index = f.min_index;
-        nf.max_index = f.max_index;
-        f = std::move(nf);
-    } else {
-        f = FSM();
-        f.best = best;
-        f.max_sw_count = max_sw_count;
-        f.is_hit = is_hit != 0;
-        f.scores.assign(stored_scores, stored_scores + n_stored);
-        f.idxnums.assign(stored_idxnums, stored_idxnums + n_stored);
-        f.min_index = min_index;
-        f.max_index = max_index;
-    }
-    f.ord = ord;
-    f.managed = true;
-    double tb0 = now_s();
-    build_cands(e, f, kids, wins, n_hits);
-    sc.t_build += now_s() - tb0;
-    sc.n_trip += (int64_t)f.trip.size();
-    speculate_all(e, f, sc);
-    double ta0 = now_s();
-    advance(e, f, sc);
-    sc.t_adv += now_s() - ta0;
-    return f.phase == 2 || f.phase == 4;
+// strand switch (driver.cpp): point the engine at the other strand's
+// concatenated 04 buffer and tag subsequent actions with the strand
+void cand_set_reads(void* h, const uint8_t* reads_data) {
+    ((Engine*)h)->reads_data = reads_data;
 }
-
-static void merge_scratch(Engine* e, const Scratch& sc) {
-    e->t_build += sc.t_build;
-    e->t_lis += sc.t_lis;
-    e->t_adv += sc.t_adv;
-    e->n_lis += sc.n_lis;
-    e->n_trip += sc.n_trip;
+void cand_set_strand(void* h, int32_t forward) {
+    ((Engine*)h)->o.strand_forward = forward;
 }
 
 // begin a compute_lis_alignment call for one read
@@ -973,17 +861,18 @@ int32_t cand_num_actions(void* h) {
     return (int32_t)((Engine*)h)->actions.size();
 }
 
-// export actions: fixed int32 fields [n,13] + int64 window offsets [n,2]
-void cand_export_actions(void* h, int32_t* fields /*[n,13]*/,
+// export actions: fixed int32 fields [n,14] + int64 window offsets [n,2]
+void cand_export_actions(void* h, int32_t* fields /*[n,14]*/,
                          int64_t* offs /*[n,2]*/) {
     Engine* e = (Engine*)h;
     for (size_t i = 0; i < e->actions.size(); ++i) {
         const Action& a = e->actions[i];
-        int32_t* r = fields + i * 13;
+        int32_t* r = fields + i * 14;
         r[0] = a.read_ord; r[1] = a.kind; r[2] = a.slot; r[3] = a.first_hit;
         r[4] = a.ref_num; r[5] = a.score;
         r[6] = a.rb; r[7] = a.re; r[8] = a.qb; r[9] = a.qe;
         r[10] = a.rl; r[11] = a.ql; r[12] = a.band;
+        r[13] = a.strand_forward;
         offs[i * 2] = a.rw_off;
         offs[i * 2 + 1] = a.qw_off;
     }

@@ -316,6 +316,20 @@ class JaxSwBackend:
                 return b
         return cls.BLOCK
 
+    @property
+    def _pad_full_block(self) -> bool:
+        """On accelerators every wave pads to the one fixed BLOCK so the
+        compiled-shape set stays minimal (warmup shapes == measurement
+        shapes; a padded 4096x256x256 tile computes in ~15ms, far below
+        one extra JIT compile through a tunneled link).  CPU runs (tests)
+        keep the small-block ladder -- padding is pure cost there."""
+        v = getattr(self, "_pad_full_cached", None)
+        if v is None:
+            import jax
+            v = jax.default_backend() != "cpu"
+            self._pad_full_cached = v
+        return v
+
     def batch_coords(self, q_data: np.ndarray, q_off, q_len,
                      r_data: np.ndarray, r_off, r_len, minimal):
         """Coordinate-based scoring via the fused one-upload /
@@ -357,7 +371,8 @@ class JaxSwBackend:
         from ..util import timed
         for b0 in range(0, n, self.BLOCK):
             ba = order[b0:b0 + self.BLOCK]
-            B = self.BLOCK if n > self.BLOCK else self._min_block(len(ba))
+            B = self.BLOCK if (n > self.BLOCK or self._pad_full_block) \
+                else self._min_block(len(ba))
             lq = self._len_bucket(int(q_len[ba].max()))
             lr = self._len_bucket(int(r_len[ba].max()))
             buf = np.zeros((B, lq + lr + 12), np.uint8)

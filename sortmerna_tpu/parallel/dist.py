@@ -113,7 +113,8 @@ def psum_readstats(mesh: Mesh, shard_stats: List[Readstats],
 
 
 def run_align_sharded(ctx, mesh: Mesh, sw_backend=None,
-                      n_shards: int = None) -> None:
+                      n_shards: int = None,
+                      concurrent: bool = True) -> None:
     """Align ``ctx`` as n_shards independent read shards, then psum the
     stats (multi-host data-parallel layout on one controller).
 
@@ -124,19 +125,123 @@ def run_align_sharded(ctx, mesh: Mesh, sw_backend=None,
     global list so the merged context feeds the normal report path in
     global read order (the deterministic merge, report.cpp:56-96
     semantics).
+
+    Shards execute CONCURRENTLY (one host thread each, like the
+    reference's per-thread feed slots, processor.cpp:248-253): every
+    shard owns disjoint reads/states/stats, the shared SW backend is
+    called from all shards (JAX dispatch is thread-safe; each wave is an
+    independent program), so results are byte-identical regardless of
+    interleaving.  ``concurrent=False`` keeps the sequential sweep.
     """
     from ..engine.run import run_align
 
     n_shards = n_shards or mesh.devices.size
     slices = shard_reads(len(ctx.reads), n_shards, ctx.opts.is_paired)
-    shard_stats: List[Readstats] = []
+    shard_stats: List[Readstats] = [
+        Readstats(len(ctx.opts.ref_files)) for _ in slices]
     base_stats = ctx.readstats
-    for sl in slices:
-        rs = Readstats(len(ctx.opts.ref_files))
+
+    def one_shard(sl, rs):
         sub = dataclasses.replace(
             ctx, reads=ctx.reads[sl],
             states=ctx.states[sl.start:sl.stop], readstats=rs)
         if len(sub.reads):
             run_align(sub, sw_backend=sw_backend)
-        shard_stats.append(rs)
+
+    if concurrent and len(slices) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(slices)) as ex:
+            futs = [ex.submit(one_shard, sl, rs)
+                    for sl, rs in zip(slices, shard_stats)]
+            for f in futs:
+                f.result()
+    else:
+        for sl, rs in zip(slices, shard_stats):
+            one_shard(sl, rs)
     psum_readstats(mesh, shard_stats, base_stats)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) orchestration
+
+
+def init_multihost(coordinator: str = None, num_processes: int = None,
+                   process_id: int = None) -> tuple:
+    """``jax.distributed.initialize`` wrapper for multi-host runs.
+
+    On a multi-host TPU deployment (GKE/TPU-VM) the env provides the
+    coordinator automatically; explicit args support manual launch
+    (one process per host: SMR_COORD, SMR_NPROCS, SMR_PROC_ID).
+    Returns (process_index, process_count).  Single-process runs (no
+    coordinator) skip initialization and report (0, 1).
+    """
+    import os as _os
+    coordinator = coordinator or _os.environ.get("SMR_COORD")
+    num_processes = num_processes or int(_os.environ.get("SMR_NPROCS", 0))
+    process_id = (process_id if process_id is not None
+                  else int(_os.environ.get("SMR_PROC_ID", -1)))
+    if coordinator and num_processes > 1 and process_id >= 0:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def run_align_multihost(ctx, sw_backend=None) -> slice:
+    """Multi-host align: each host aligns its OWN contiguous pair-aligned
+    shard of the global read order (per-host feed shard -- the DCN
+    analogue of the per-thread byte-range slots, readfeed.cpp:1104-1282),
+    then Readstats counters allreduce over every chip of every host.
+
+    The returned slice is this host's read range; per-host reports are
+    written for that range and concatenate deterministically in host
+    order (report.cpp:56-96 merge semantics).  With one process this
+    degenerates to the plain single-host align.
+    """
+    from ..engine.run import run_align
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+    slices = shard_reads(len(ctx.reads), pcount, ctx.opts.is_paired)
+    mine = slices[pidx]
+    rs = Readstats(len(ctx.opts.ref_files))
+    sub = dataclasses.replace(
+        ctx, reads=ctx.reads[mine],
+        states=ctx.states[mine.start:mine.stop], readstats=rs)
+    if len(sub.reads):
+        run_align(sub, sw_backend=sw_backend)
+
+    psum_readstats_multihost(rs, ctx.readstats)
+    return mine
+
+
+def psum_readstats_multihost(local: Readstats, out: Readstats) -> None:
+    """Allreduce one host's counters over ALL processes' devices.
+
+    Each process contributes its counters in the first of its local
+    device rows of a global [n_devices, K] array
+    (make_array_from_process_local_data -- only addressable shards are
+    provided locally); a psum over the global mesh yields the cluster
+    totals, replicated back to every host.
+    """
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    n_db = len(local.reads_matched_per_db)
+    K = len(_COUNTER_FIELDS) + n_db
+    d_local = jax.local_device_count()
+    rows = np.zeros((d_local, K), np.int64)
+    rows[0, :len(_COUNTER_FIELDS)] = [
+        getattr(local, f) for f in _COUNTER_FIELDS]
+    rows[0, len(_COUNTER_FIELDS):] = local.reads_matched_per_db
+    sh = NamedSharding(mesh, P("dp"))
+    arr = jax.make_array_from_process_local_data(
+        sh, rows, (mesh.devices.size, K))
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("dp"),
+                       out_specs=P(), check_vma=False)
+    def reduce(r):
+        return jax.lax.psum(jnp.sum(r, axis=0), "dp")
+
+    tot = np.asarray(reduce(arr))
+    for k, f in enumerate(_COUNTER_FIELDS):
+        setattr(out, f, int(tot[k]))
+    out.reads_matched_per_db = [int(x) for x in
+                                tot[len(_COUNTER_FIELDS):]]

@@ -1,17 +1,20 @@
 """Exact ALP Gumbel provider (reference-identical lambda/K).
 
 The reference computes gapped Gumbel parameters with the public-domain
-NCBI ALP library (vendored at 3rdparty/alp), called with a FIXED random
-seed and sample count so the result is deterministic for given inputs
-(refstats.cpp:184-233: seed 182345345, 14112 samples, 39 preliminary).
+NCBI ALP library (it vendors the tree at 3rdparty/alp), called with a
+FIXED random seed and sample count so the result is deterministic for
+given inputs (refstats.cpp:184-233: seed 182345345, 14112 samples, 39
+preliminary).
 
-We do not vendor ALP.  Instead, this module builds a 30-line driver
-against an ALP source tree when one is available on the machine
-(``SMR_ALP_SRC``, defaulting to the reference checkout's vendored copy)
-and invokes it to obtain byte-identical lambda/K.  Results are cached on
-disk, so the ~4 s simulation (docs/trace4.3.2.rst:161-165) runs once per
-(scoring, composition).  When no ALP tree or compiler is present the
-caller falls back to the calibrated estimator in stats/gumbel.py.
+The same public-domain tree is vendored HERE at
+``sortmerna_tpu/third_party/alp`` (see its README for provenance), so
+the framework is self-contained: this module builds a 30-line driver
+against it and invokes it to obtain byte-identical lambda/K.
+``SMR_ALP_SRC`` can point at a different ALP checkout.  Results are
+cached on disk, so the ~4 s simulation (docs/trace4.3.2.rst:161-165)
+runs once per (scoring, composition).  Only when no compiler is present
+does the caller fall back to the calibrated estimator in
+stats/gumbel.py.
 """
 
 from __future__ import annotations
@@ -64,12 +67,14 @@ int main(int argc, char** argv) {
 """
 
 
+_VENDORED = _REPO / "sortmerna_tpu" / "third_party" / "alp"
+
+
 def _alp_src() -> Optional[pathlib.Path]:
-    p = os.environ.get("SMR_ALP_SRC",
-                       "/root/reference/3rdparty/alp")
-    path = pathlib.Path(p)
-    if path.is_dir() and list(path.glob("*.cpp")):
-        return path
+    p = os.environ.get("SMR_ALP_SRC")
+    for path in ([pathlib.Path(p)] if p else []) + [_VENDORED]:
+        if path.is_dir() and list(path.glob("*.cpp")):
+            return path
     return None
 
 

@@ -16,3 +16,39 @@ def test_dryrun_multichip_pipeline(n):
         pytest.skip("needs %d virtual devices" % n)
     import __graft_entry__ as g
     g.dryrun_multichip(n)
+
+
+def test_multihost_degenerate(tmp_path):
+    """run_align_multihost's single-process path must equal the plain
+    align (the multi-process path differs only in which shard this host
+    owns + the allreduce span)."""
+    import __graft_entry__ as g
+    from sortmerna_tpu.cli import parse_args
+    from sortmerna_tpu.engine.run import prepare, run_align, run_all
+    from sortmerna_tpu.parallel.dist import (init_multihost,
+                                             run_align_multihost)
+
+    reads = str(tmp_path / "reads.fasta")
+    g._synth_reads(reads, n_hits=40, n_junk=10)
+    argv = ["-ref", "/root/reference/data/test_ref.fasta",
+            "-reads", reads, "-fastx", "-num_alignments", "2",
+            "-idx-dir", str(tmp_path / "idx")]
+
+    pidx, pcount = init_multihost()          # no coordinator: (0, 1)
+    assert (pidx, pcount) == (0, 1)
+
+    base = run_all(parse_args(argv + ["-workdir", str(tmp_path / "a")]))
+
+    opts = parse_args(argv + ["-workdir", str(tmp_path / "b")])
+    opts.finalize()
+    ctx = prepare(opts)
+    mine = run_align_multihost(ctx)
+    assert mine == slice(0, len(ctx.reads))
+    assert ctx.readstats.num_aligned == base.readstats.num_aligned
+    assert ctx.readstats.reads_matched_per_db == \
+        base.readstats.reads_matched_per_db
+    got = [(st.is_hit, len(st.alignments),
+            [a.score1 for a in st.alignments]) for st in ctx.states]
+    want = [(st.is_hit, len(st.alignments),
+             [a.score1 for a in st.alignments]) for st in base.states]
+    assert got == want
