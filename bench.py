@@ -200,9 +200,11 @@ def main():
                 1 for s in ctx.states[:done] if s.is_hit)
         log("chunk done: %d/%d reads, %.1fs (%.0f reads/s cumulative)"
             % (done, n, dt, done / t_align))
-        # Leave ~20s of slack for printing/cleanup.
-        if time.time() - T0 > DEADLINE_S - 20 - dt:
-            log("stopping early: next chunk would cross the deadline")
+        # Measurement may continue PAST the soft deadline (the watchdog's
+        # partial line is superseded by a late real one); only the hard
+        # exit is sacred.  Leave ~25s of slack for printing/cleanup.
+        if time.time() - T0 > HARD_EXIT_S - 25 - dt:
+            log("stopping early: next chunk would cross the hard exit")
             break
 
     if timers_enabled():

@@ -462,6 +462,66 @@ def _traverse_strand_vec(
     _apply_done(states, ordinals, opts, ctx, is_last_strand)
 
 
+# batches at or above this size split into two half-range drivers whose
+# host stages and device waves pipeline against each other
+OVERLAP_MIN_READS = 8192
+
+
+def _overlap_enabled() -> bool:
+    """Half-batch pipelining pays only when the host has cores to spare:
+    on a 2-core host the device link's transfer threads contend with the
+    probe/FSM threads and every host stage slows ~2x (measured), eating
+    the hidden-fetch win.  SMR_OVERLAP=1/0 overrides the heuristic."""
+    import os
+    v = os.environ.get("SMR_OVERLAP")
+    if v is not None:
+        return v not in ("0", "", "false")
+    return (os.cpu_count() or 1) >= 4
+
+
+def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
+                         backend, readstats, states_fresh) -> None:
+    """Double-buffered part sweep: the batch splits into two read-range
+    halves (independent reads, shared concat buffers); while one half's
+    SW wave computes on the device, the other half runs its host stages
+    (probe, FSM start, result application).  Results are byte-identical
+    to the single-driver sweep -- reads never interact within a part.
+    """
+    from .part_driver import NativePartDriver
+
+    mid = batch.n // 2
+    spans = [(0, mid), (mid, batch.n)]
+    drvs = [NativePartDriver(part, ctx, opts, batch, states[lo:hi],
+                             skiplengths, states_fresh=states_fresh,
+                             lo=lo, hi=hi)
+            for lo, hi in spans]
+    try:
+        hands = [None, None]
+
+        def advance(i):
+            jb = drvs[i].pump_jobs()
+            hands[i] = None if jb is None else \
+                backend.batch_coords_submit(*jb)
+
+        advance(0)
+        advance(1)
+        while True:
+            progressed = False
+            for i in (0, 1):
+                if hands[i] is not None:
+                    res = backend.batch_coords_fetch(hands[i])
+                    drvs[i].post(res)
+                    advance(i)
+                    progressed = True
+            if not progressed:
+                break
+        for (lo, hi), drv in zip(spans, drvs):
+            drv.finish(states[lo:hi], readstats)
+    finally:
+        for drv in drvs:
+            drv.close()
+
+
 def align_part(
     reads: List[ReadSeq],
     states: List[ReadState],
@@ -503,13 +563,22 @@ def align_part(
             and getattr(part, "seed_win_len", 18) == 18):
         from .part_driver import NativePartDriver
         from ..util import timed
+        overlap = (batch.n >= OVERLAP_MIN_READS
+                   and hasattr(backend, "batch_coords_submit")
+                   and _overlap_enabled())
         with timed("part_driver"):
-            drv = NativePartDriver(part, ctx, opts, batch, states,
-                                   skiplengths, states_fresh=states_fresh)
-            try:
-                drv.run(backend, states, readstats)
-            finally:
-                drv.close()
+            if overlap:
+                _run_part_overlapped(part, ctx, opts, batch, states,
+                                     skiplengths, backend, readstats,
+                                     states_fresh)
+            else:
+                drv = NativePartDriver(part, ctx, opts, batch, states,
+                                       skiplengths,
+                                       states_fresh=states_fresh)
+                try:
+                    drv.run(backend, states, readstats)
+                finally:
+                    drv.close()
         return
 
     searcher = _make_searcher(part, opts)

@@ -48,15 +48,25 @@ def _part_probe_bufs(part):
 
 
 class NativePartDriver:
+    """One per (index-part, read-range).  ``lo``/``hi`` select a
+    sub-range of the batch: the concat buffers are shared (offsets are
+    absolute), so the overlap scheduler can run two halves of a batch
+    against each other with zero copying."""
+
     def __init__(self, part, ctx: PartContext, opts: Opts,
                  batch, states: List[ReadState],
-                 skiplengths, states_fresh: bool = False):
+                 skiplengths, states_fresh: bool = False,
+                 lo: int = 0, hi: int = None):
         self.lib = native.get_lib()
         assert self.lib is not None
         self.ctx = ctx
         self.opts = opts
         self.batch = batch
-        n = batch.n
+        hi = batch.n if hi is None else hi
+        self.lo, self.hi = lo, hi
+        n = hi - lo
+        self.n = n
+        assert len(states) == n
 
         pbufs = _part_probe_bufs(part)
 
@@ -74,7 +84,10 @@ class NativePartDriver:
 
         from ..util import timed
         with timed("batch_enc"):
-            self.reads_off = np.ascontiguousarray(batch.offs, np.int64)
+            # encodings cache on the batch; the offs slice view keeps
+            # ABSOLUTE offsets so sub-range drivers share the buffers
+            self.reads_off = np.ascontiguousarray(
+                batch.offs[lo:hi + 1], np.int64)
             self.f03 = np.ascontiguousarray(batch.concat03(True))
             self.r03 = np.ascontiguousarray(batch.concat03(False))
             self.f04 = np.ascontiguousarray(batch.concat04(True))
@@ -157,46 +170,67 @@ class NativePartDriver:
         self.heng = self.lib.trav_engine(self.h)
 
     # ------------------------------------------------------------------
-    def run(self, sw_backend, states: List[ReadState],
-            readstats: Readstats) -> None:
+    def pump_jobs(self):
+        """Advance the native driver to the next device wave.  Returns
+        the batch_coords argument tuple, or None once the part is
+        complete (results must then be collected with finish())."""
         lib = self.lib
         from ..util import timed
-        while True:
-            with timed("trav_pump"):
-                n = lib.trav_pump(self.h)
-            if n == 0:
-                break
-            fwd = lib.trav_strand(self.h)
-            job_read = np.zeros(n, np.int32)
-            q_off = np.zeros(n, np.int64)
-            q_len = np.zeros(n, np.int32)
-            r_off = np.zeros(n, np.int64)
-            r_len = np.zeros(n, np.int32)
-            minimal = np.zeros(n, np.int64)
-            with timed("fsm_jobs"):
-                m = lib.cand_next_jobs(
-                    self.heng, job_read.ctypes.data, q_off.ctypes.data,
-                    q_len.ctypes.data, r_off.ctypes.data,
-                    r_len.ctypes.data, minimal.ctypes.data)
-            assert m == n
-            q_data = self.f04 if fwd else self.r04
-            with timed("sw_wave"):
-                scores, rb, re, qb, qe = sw_backend.batch_coords(
-                    q_data, q_off, q_len,
-                    self.refs_data, r_off, r_len, minimal)
-            with timed("fsm_post"):
-                lib.cand_post(self.heng, n, scores.ctypes.data,
-                              rb.ctypes.data, re.ctypes.data,
-                              qb.ctypes.data, qe.ctypes.data)
-        from ..util import timed as _t
-        with _t("fsm_apply"):
+        with timed("trav_pump"):
+            n = lib.trav_pump(self.h)
+        if n == 0:
+            return None
+        self._wave_n = n
+        fwd = lib.trav_strand(self.h)
+        job_read = np.zeros(n, np.int32)
+        q_off = np.zeros(n, np.int64)
+        q_len = np.zeros(n, np.int32)
+        r_off = np.zeros(n, np.int64)
+        r_len = np.zeros(n, np.int32)
+        minimal = np.zeros(n, np.int64)
+        with timed("fsm_jobs"):
+            m = lib.cand_next_jobs(
+                self.heng, job_read.ctypes.data, q_off.ctypes.data,
+                q_len.ctypes.data, r_off.ctypes.data,
+                r_len.ctypes.data, minimal.ctypes.data)
+        assert m == n
+        q_data = self.f04 if fwd else self.r04
+        return (q_data, q_off, q_len, self.refs_data, r_off, r_len,
+                minimal)
+
+    def post(self, res) -> None:
+        """Feed one wave's SW results back into the native FSMs."""
+        scores, rb, re, qb, qe = res
+        from ..util import timed
+        with timed("fsm_post"):
+            self.lib.cand_post(self.heng, self._wave_n,
+                               scores.ctypes.data,
+                               rb.ctypes.data, re.ctypes.data,
+                               qb.ctypes.data, qe.ctypes.data)
+
+    def finish(self, states: List[ReadState],
+               readstats: Readstats) -> None:
+        from ..util import timed
+        with timed("fsm_apply"):
             self._export(states, readstats)
+
+    def run(self, sw_backend, states: List[ReadState],
+            readstats: Readstats) -> None:
+        from ..util import timed
+        while True:
+            jb = self.pump_jobs()
+            if jb is None:
+                break
+            with timed("sw_wave"):
+                res = sw_backend.batch_coords(*jb)
+            self.post(res)
+        self.finish(states, readstats)
 
     # ------------------------------------------------------------------
     def _export(self, states: List[ReadState],
                 readstats: Readstats) -> None:
         lib = self.lib
-        n = self.batch.n
+        n = self.n
         out = np.zeros((n, 8), np.int32)
         lib.trav_export(self.h, out.ctypes.data)
         flags = out[:, 7]

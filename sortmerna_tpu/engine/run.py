@@ -228,15 +228,26 @@ def materialize_cigars(ctx: RunContext) -> None:
                     a.score1, opts.gap_open, opts.gap_ext, a.tb[2], mat)
                 for a in pend]
     for a, cg in zip(pend, cigs):
-        a.cigar = list(cg)
+        a.cigar = cg if isinstance(cg, np.ndarray) else list(cg)
         a.tb = None
 
 
 def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):
-    """(ref_seqs, ref_headers) for a report pass."""
+    """(ref_seqs, ref_headers) for a report pass.
+
+    The denovo, otu and blast/sam passes all sweep the same parts in
+    order (output.cpp:196-219), so one part stays cached and repeat
+    requests skip the fasta re-read (memory stays bounded to one part).
+    """
+    key = (idx_num, part_num)
+    cached = getattr(ctx, "_part_ref_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     part = ctx.indexes[idx_num].parts[part_num]
-    return load_part_refs(ctx.opts.ref_files[idx_num], part.first_seq,
-                          part.numseq_part, start_byte=part.start_part)
+    val = load_part_refs(ctx.opts.ref_files[idx_num], part.first_seq,
+                         part.numseq_part, start_byte=part.start_part)
+    ctx._part_ref_cache = (key, val)
+    return val
 
 
 # ---------------------------------------------------------------------------

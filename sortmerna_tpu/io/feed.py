@@ -73,6 +73,38 @@ def _iter_blocks(path: str, zipped: bool) -> Iterator[bytes]:
             yield out
 
 
+def _prefetch_blocks(it: Iterator[bytes], depth: int = 4
+                     ) -> Iterator[bytes]:
+    """Run a block iterator in a producer thread with a bounded queue.
+
+    For a gzipped file this pipelines zlib inflation (C code, GIL
+    released) against the numpy record scan in the consumer -- the
+    single-large-.gz analogue of the reference's parallel decompressor
+    (readfeed.cpp:1138-1142) on a 2-core host: decompress and parse run
+    on separate cores instead of alternating on one."""
+    import queue
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for b in it:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:   # surfaced in the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # vectorized record scanners
 #
@@ -253,7 +285,7 @@ class PackedReadsFile:
         os.makedirs(self.dir, exist_ok=True)
         hdr_acc, seq_acc, qual_acc = _Acc(), _Acc(), _Acc()
         tail = b""
-        blocks = _iter_blocks(self.src, zipped)
+        blocks = _prefetch_blocks(_iter_blocks(self.src, zipped))
         done = False
         while not done:
             chunk = next(blocks, None)

@@ -166,7 +166,9 @@ def traceback_batch(refs: List[np.ndarray], queries: List[np.ndarray],
         mat8.ctypes.data, out.ctypes.data, cigar_cap, out_len.ctypes.data)
     if bad:
         raise RuntimeError(f"{bad} tracebacks failed (cigar overflow?)")
-    return [out[i, :out_len[i]].tolist() for i in range(n)]
+    # packed-cigar rows as array views (consumers only iterate); avoiding
+    # 100K+ tolist() conversions keeps the batched traceback C-bound
+    return [out[i, :out_len[i]] for i in range(n)]
 
 
 def gumbel_histogram(match, mismatch, gap_open, gap_ext, freqs,

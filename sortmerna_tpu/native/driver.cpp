@@ -66,8 +66,13 @@ struct Driver {
 
     int32_t n_reads = 0;
     const int64_t* reads_off = nullptr;
-    std::vector<int64_t> lens;
+    int64_t base = 0;           // reads_off[0]: a driver may cover a
+                                // SUB-RANGE of the concat buffers (the
+                                // overlap scheduler splits a batch into
+                                // halves sharing the same buffers), so
+                                // per-position scratch is base-relative
     int pw = 9;                 // half-window chars (lnwin / 2)
+    std::vector<int64_t> lens;
 
     // pass transition tables (paralleltraversal.cpp:259-283)
     int64_t next_tab[4];
@@ -113,15 +118,16 @@ static int64_t ilen(const Driver* d, int32_t ord) {
 // in-read window starts are ever indexed.
 static void pack_p9(Driver* d, const uint8_t* concat03) {
     double t0 = now_s();
-    int64_t total = d->reads_off[d->n_reads];
+    int64_t total = d->reads_off[d->n_reads] - d->base;
     int64_t n = total - d->pw + 1;
     d->p9.resize(total > 0 ? total : 0);
     if (n <= 0) { d->t_pack += now_s() - t0; return; }
     const uint64_t mask = (d->pw >= 32) ? ~0ull
                           : ((1ull << (2 * d->pw)) - 1);
+    const uint8_t* src = concat03 + d->base;
     uint64_t acc = 0;
     for (int64_t i = 0; i < total; ++i) {
-        acc = ((acc << 2) | concat03[i]) & mask;
+        acc = ((acc << 2) | src[i]) & mask;
         if (i >= d->pw - 1) d->p9[i - d->pw + 1] = (int64_t)acc;
     }
     d->t_pack += now_s() - t0;
@@ -138,7 +144,7 @@ static void strand_init(Driver* d) {
     cand_set_strand(d->eng, d->forward ? 1 : 0);
 
     pack_p9(d, concat03);
-    d->searched.assign(d->reads_off[d->n_reads], 0);
+    d->searched.assign(d->reads_off[d->n_reads] - d->base, 0);
     int64_t lnwin = d->ip[P_LNWIN];
     d->la.clear();
     d->ordinals0.clear();
@@ -194,7 +200,7 @@ static void run_pass_prefix(Driver* d) {
     for (int32_t ord : d->la) {
         int64_t shift = d->win_shift[ord];
         int64_t numwin = (d->lens[ord] - lnwin + shift) / shift;
-        int64_t off = d->reads_off[ord];
+        int64_t off = d->reads_off[ord] - d->base;
         for (int64_t k = 0; k < numwin; ++k) {
             int64_t pos = k * shift;
             if (d->searched[off + pos]) continue;
@@ -351,6 +357,7 @@ void* trav_create(const void** bufs, const int64_t* ip) {
     std::memcpy(d->ip, ip, sizeof(d->ip));
     d->n_reads = (int32_t)ip[P_N_READS];
     d->reads_off = (const int64_t*)bufs[B_READS_OFF];
+    d->base = d->n_reads > 0 ? d->reads_off[0] : 0;
     d->pw = (int)(ip[P_LNWIN] / 2);
     d->lens.resize(d->n_reads);
     for (int32_t i = 0; i < d->n_reads; ++i) d->lens[i] = ilen(d, i);

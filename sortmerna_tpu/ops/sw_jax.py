@@ -334,6 +334,16 @@ class JaxSwBackend:
                      r_data: np.ndarray, r_off, r_len, minimal):
         """Coordinate-based scoring via the fused one-upload /
         one-download device call.  Returns (score, rb, re, qb, qe)."""
+        return self.batch_coords_fetch(self.batch_coords_submit(
+            q_data, q_off, q_len, r_data, r_off, r_len, minimal))
+
+    def batch_coords_submit(self, q_data: np.ndarray, q_off, q_len,
+                            r_data: np.ndarray, r_off, r_len, minimal):
+        """Asynchronous half of batch_coords: dispatches every block's
+        device call (and its device->host copy) without blocking, so a
+        caller can run host work for OTHER reads while the device
+        computes.  Returns an opaque wave handle for batch_coords_fetch.
+        """
         q_data = np.asarray(q_data, np.uint8)
         r_data = np.asarray(r_data, np.uint8)
         q_off = np.asarray(q_off, np.int64)
@@ -389,26 +399,28 @@ class JaxSwBackend:
             with timed(f"sw_submit[{B}x{lq}x{lr}]"):
                 dev = self._device_call(buf, B, lq, lr)
             pending.append((ba, dev))
-        # ONE download per wave: block outputs concatenate on device, so
-        # the per-fetch link round-trip (~30ms tunneled) is paid once.
-        if len(pending) > 1:
-            with timed("sw_fetch"):
-                allout = np.asarray(jnp.concatenate(
-                    [dev for _, dev in pending], axis=1))
-            col = 0
+        # Downloads are issued asynchronously for every block up front
+        # (copy_to_host_async), so transfers overlap both the remaining
+        # device compute and each other; np.asarray then only waits.
+        # (A device-side concatenate was measured WORSE: each distinct
+        # block count compiled a fresh concat program through the
+        # tunneled link.)
+        for _, dev in pending:
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:       # non-jax backend arrays
+                pass
+        return pending, (score, beg_ref, end_ref, beg_read, end_read)
+
+    @staticmethod
+    def batch_coords_fetch(handle):
+        """Blocking half of batch_coords: waits for the wave's device
+        results and scatters them into the job-order output arrays."""
+        from ..util import timed
+        pending, (score, beg_ref, end_ref, beg_read, end_read) = handle
+        with timed("sw_fetch"):
             for ba, dev in pending:
-                B = dev.shape[1]
-                out = allout[:, col:col + B]
-                col += B
-                score[ba] = out[0, :len(ba)]
-                beg_ref[ba] = out[1, :len(ba)]
-                end_ref[ba] = out[2, :len(ba)]
-                beg_read[ba] = out[3, :len(ba)]
-                end_read[ba] = out[4, :len(ba)]
-        else:
-            for ba, dev in pending:
-                with timed("sw_fetch"):
-                    out = np.asarray(dev)
+                out = np.asarray(dev)
                 score[ba] = out[0, :len(ba)]
                 beg_ref[ba] = out[1, :len(ba)]
                 end_ref[ba] = out[2, :len(ba)]

@@ -159,7 +159,7 @@ def _regular_block(read: ReadSeq, aln: Alignment, ref_id: str, ref_seq,
     s.append("strand: " + ("+" if aln.strand else "-") + "\n\n")
 
     cigar = aln.cigar
-    if cigar:
+    if cigar is not None and len(cigar):
         left = 0
         e = 0
         qb = aln.ref_begin1
