@@ -232,7 +232,9 @@ def compute_lis_alignment(
                             readlen=readlen,
                             score1=result["score1"],
                             strand=forward,
-                            cigar=list(result["cigar"] or []),
+                            cigar=(list(result["cigar"])
+                                   if result["cigar"] is not None
+                                   else []),
                         )
                         if not state.is_hit:       # alignment.cpp:411-416
                             state.is_hit = True

@@ -95,6 +95,31 @@ def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:
     return BuiltIndex(stats=stats, parts=parts)
 
 
+def find_reference_artifacts(fasta_path: str,
+                             idx_dir: str) -> Optional[str]:
+    """Prefix of reference-format index files for this fasta in
+    ``idx_dir`` (a workdir indexed by the reference binary), or None.
+
+    The reference names its artifacts ``<string-hash>.{stats,*.dat}``
+    (index.cpp:76); the ``.stats`` payload records the fasta it was
+    built from, which is what we match on (basename -- workdirs move
+    between machines)."""
+    import glob
+
+    from .refformat import read_stats
+    base = os.path.basename(fasta_path)
+    for stats_path in glob.glob(os.path.join(idx_dir, "*.stats")):
+        try:
+            meta = read_stats(stats_path)
+        except (ValueError, IndexError, OSError, UnicodeDecodeError):
+            continue
+        if os.path.basename(meta.get("fasta_path", "")) == base:
+            prefix = stats_path[:-len(".stats")]
+            if os.path.exists(prefix + ".kmer_0.dat"):
+                return prefix
+    return None
+
+
 def build_or_load(fasta_path: str, idx_dir: Optional[str],
                   interval: int = 1, max_pos: int = 10000,
                   max_file_size_mb: float = 3072.0,
@@ -105,6 +130,19 @@ def build_or_load(fasta_path: str, idx_dir: Optional[str],
         cached = load_index(idx_dir, key)
         if cached is not None:
             return cached
+        # drop-in reuse of a workdir indexed by the REFERENCE binary
+        # (.kmer_N/.bursttrie_N/.pos_N/.stats, index.cpp:145-354)
+        if seed_win_len == 18:
+            ref_pfx = find_reference_artifacts(fasta_path, idx_dir)
+            if ref_pfx is not None:
+                from ..util import INFO
+                from .refformat import read_reference_index
+                INFO(f"loading reference-format index {ref_pfx}.*")
+                built = read_reference_index(ref_pfx)
+                # cache the converted dense layout so later runs skip
+                # the (python-paced) trie walk
+                save_index(built, idx_dir, key)
+                return built
     built = build_index(fasta_path, interval, max_pos, max_file_size_mb,
                         seed_win_len=seed_win_len)
     if idx_dir:

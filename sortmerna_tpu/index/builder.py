@@ -334,6 +334,7 @@ def build_part(enc_seqs: List[np.ndarray], interval: int, max_pos: int,
         kmer_counts=kmer_counts,
         uk19=uk19,
         uk19_ids=ids_per_uk19,
+        uk19_first=first19.astype(np.int64),   # first-occurrence scan idx
         r_rkey_sorted=r_entry_rkey[r_order],
         r_ids=r_entry_id[r_order].astype(np.uint32),
         r_scan_sorted=r_entry_scan[r_order],

@@ -1,0 +1,469 @@
+"""Reference-compatible on-disk index artifacts.
+
+The reference serializes each index part as four binary files
+(indexdb.cpp:1939-2084, loaded by index.cpp:143-354):
+
+* ``<pfx>.kmer_N.dat``     2^lnwin uint32 9-mer occurrence counts
+* ``<pfx>.bursttrie_N.dat`` per 9-mer: two uint32 trie sizes, then the
+  F and R mini-burst tries as a breadth-first stream -- per node four
+  flag bytes; a flag-1 element emits its child's four flags inline, a
+  flag-2 element emits uint32 bucket size + bucket payload.  Bucket
+  entries are 8 bytes: uint32 tail (remaining chars, 2 bits each,
+  LSB-first; indexdb.cpp:208-214) + uint32 id of the 18-mer
+  (assigned by the CMPH hash in pass 2, indexdb.cpp:1627-1745).
+* ``<pfx>.pos_N.dat``      uint32 n_ids, then per id uint32 size +
+  size x {uint32 pos, uint32 seq}
+* ``<pfx>.stats``          filesize, fasta name, background freqs,
+  full_len, lnwin, numseq, part table, SAM @SQ list
+  (indexdb.cpp:2025-2081)
+
+``read_reference_index`` consumes a workdir indexed by the reference
+binary and translates it into this package's dense flat-tensor layout
+at load (reference ids are arbitrary CMPH values; they are remapped to
+the sorted-18-mer ranks the dense tables require, which is behaviorally
+neutral -- candidate ordering keys on (frequency, sequence number),
+alignment.cpp:143-148).  ``write_reference_index`` produces the same
+format from a fasta (flat one-level tries -- the loader accepts any
+valid trie shape), giving round-trip coverage and workdir portability
+in both directions.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections import deque
+from typing import List, Tuple
+
+import numpy as np
+
+from .builder import (BuiltIndex, IndexPart, IndexStats, RefSeqMeta,
+                      build_part, finish_part, scan_reference,
+                      _part_boundaries)
+
+_PW = 9                      # the reference format is fixed at L=18
+_HALF = 1 << (2 * _PW)
+
+
+# ---------------------------------------------------------------------------
+# .stats
+
+
+def read_stats(path: str) -> dict:
+    with open(path, "rb") as f:
+        data = f.read()
+    o = 0
+
+    def take(fmt):
+        nonlocal o
+        sz = struct.calcsize(fmt)
+        vals = struct.unpack_from(fmt, data, o)
+        o += sz
+        return vals if len(vals) > 1 else vals[0]
+
+    out = {}
+    out["fasta_size"] = take("<Q")
+    name_len = take("<I")
+    out["fasta_path"] = data[o:o + name_len].split(b"\0")[0].decode()
+    o += name_len
+    out["background_freq"] = np.array(take("<4d"))
+    out["full_len"] = take("<Q")
+    out["lnwin"] = take("<I")
+    out["numseq"] = take("<Q")
+    n_parts = take("<H")
+    parts = []
+    for _ in range(n_parts):
+        # index_parts_stats {ulong, ulong, uint32} padded to 24 bytes
+        start_part, seq_part_size, numseq_part = \
+            struct.unpack_from("<QQI", data, o)
+        o += 24
+        parts.append((start_part, seq_part_size, numseq_part))
+    out["parts"] = parts
+    n_sq = take("<I")
+    sams = []
+    for _ in range(n_sq):
+        lid = take("<I")
+        sid = data[o:o + lid].decode()
+        o += lid
+        slen = take("<I")
+        sams.append(RefSeqMeta(sid, slen))
+    out["sam_sq"] = sams
+    return out
+
+
+def write_stats(path: str, stats: IndexStats,
+                parts: List[IndexPart]) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", stats.fasta_size))
+        name = stats.fasta_path.encode() + b"\0"
+        f.write(struct.pack("<I", len(name)))
+        f.write(name)
+        f.write(struct.pack("<4d", *stats.background_freq))
+        f.write(struct.pack("<Q", stats.full_len))
+        f.write(struct.pack("<I", stats.seed_win_len))
+        f.write(struct.pack("<Q", stats.numseq))
+        f.write(struct.pack("<H", len(parts)))
+        for p in parts:
+            f.write(struct.pack("<QQI4x", p.start_part, p.seq_part_size,
+                                p.numseq_part))
+        f.write(struct.pack("<I", len(stats.sam_sq)))
+        for m in stats.sam_sq:
+            sid = m.header.encode()
+            f.write(struct.pack("<I", len(sid)) + sid
+                    + struct.pack("<I", m.length))
+
+
+# ---------------------------------------------------------------------------
+# burst-trie stream
+
+
+def _walk_trie(data: bytes, pos: int) -> Tuple[list, int]:
+    """Decode one serialized mini-burst trie starting at ``pos``.
+
+    Returns ([(path_chars, tails_u32[k], ids_u32[k]), ...], new_pos) --
+    one record per bucket, in breadth-first stream order (bucket entry
+    order is the builder's insertion order, which the R-side 0-error
+    representative semantics rely on; traverse_bursttrie.cpp:237-262).
+    """
+    flags = deque(data[pos:pos + 4])
+    pos += 4
+    paths = deque([(0,), (1,), (2,), (3,)])
+    buckets = []
+    while flags:
+        flag = flags.popleft()
+        path = paths.popleft()
+        if flag == 0:
+            continue
+        if flag == 1:
+            child = data[pos:pos + 4]
+            pos += 4
+            for c in range(4):
+                flags.append(child[c])
+                paths.append(path + (c,))
+        elif flag == 2:
+            (size,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            ent = np.frombuffer(data, np.uint32, size // 4,
+                                pos).reshape(-1, 2)
+            pos += size
+            buckets.append((path, ent[:, 0], ent[:, 1]))
+        else:
+            raise ValueError(f"bad trie flag {flag}")
+    return buckets, pos
+
+
+def _decode_tails(path: Tuple[int, ...], tails: np.ndarray) -> np.ndarray:
+    """Full 10-char suffix strings (MSB-first packed 20 bits) from a
+    bucket: path chars + LSB-first-packed stored tail."""
+    depth = len(path)
+    s = _PW + 1 - depth
+    out = np.zeros(len(tails), np.uint32)
+    for c in path:
+        out = (out << np.uint32(2)) | np.uint32(c)
+    t = tails.astype(np.uint32)
+    for k in range(s):
+        out = (out << np.uint32(2)) | ((t >> np.uint32(2 * k))
+                                       & np.uint32(3))
+    return out
+
+
+def _pack_entry_tails(suffix10: np.ndarray, depth: int) -> np.ndarray:
+    """Inverse of _decode_tails for a depth-``depth`` bucket."""
+    s = _PW + 1 - depth
+    out = np.zeros(len(suffix10), np.uint32)
+    for k in range(s):
+        ch = (suffix10 >> np.uint32(2 * (s - 1 - k))) & np.uint32(3)
+        out |= ch << np.uint32(2 * k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+
+def read_part(prefix: str, part_num: int) -> dict:
+    """One part's core arrays (builder.build_part output shape) from the
+    reference's .kmer/.bursttrie/.pos files."""
+    counts = np.fromfile(f"{prefix}.kmer_{part_num}.dat", np.uint32,
+                         _HALF)
+
+    with open(f"{prefix}.bursttrie_{part_num}.dat", "rb") as f:
+        tdata = f.read()
+    pos = 0
+    f19_list, fid_list = [], []
+    r19_list, rid_list, rscan_list = [], [], []
+    scan = 0
+    for key in range(_HALF):
+        szF, szR = struct.unpack_from("<II", tdata, pos)
+        pos += 8
+        if szF:
+            buckets, pos = _walk_trie(tdata, pos)
+            for path, tails, ids in buckets:
+                suf = _decode_tails(path, tails)
+                k19 = (np.uint64(key) << np.uint64(20)) \
+                    | suf.astype(np.uint64)
+                f19_list.append(k19)
+                fid_list.append(ids)
+        if szR:
+            buckets, pos = _walk_trie(tdata, pos)
+            for path, tails, ids in buckets:
+                # R strings are c9..c0; rebuild c0..c18 with this key
+                # (c10..c18) as the low 18 bits
+                suf = _decode_tails(path, tails).astype(np.uint64)
+                c_hi = np.zeros(len(suf), np.uint64)   # c0..c9 MSB-first
+                for k in range(10):
+                    c_hi = (c_hi << np.uint64(2)) \
+                        | ((suf >> np.uint64(2 * k)) & np.uint64(3))
+                k19 = (c_hi << np.uint64(18)) | np.uint64(key)
+                r19_list.append(k19)
+                rid_list.append(ids)
+                rscan_list.append(np.arange(scan, scan + len(suf),
+                                            dtype=np.int64))
+                scan += len(suf)
+
+    f19 = np.concatenate(f19_list) if f19_list else np.zeros(0, np.uint64)
+    fid = np.concatenate(fid_list) if fid_list else np.zeros(0, np.uint32)
+    r19 = np.concatenate(r19_list) if r19_list else np.zeros(0, np.uint64)
+    rid = np.concatenate(rid_list) if rid_list else np.zeros(0, np.uint32)
+    rscan = np.concatenate(rscan_list) if rscan_list else \
+        np.zeros(0, np.int64)
+
+    with open(f"{prefix}.pos_{part_num}.dat", "rb") as f:
+        pdata = f.read()
+    (n_ids,) = struct.unpack_from("<I", pdata, 0)
+    sizes = np.zeros(n_ids, np.int64)
+    arrs = []
+    o = 4
+    for i in range(n_ids):
+        (sz,) = struct.unpack_from("<I", pdata, o)
+        o += 4
+        sizes[i] = sz
+        arrs.append(np.frombuffer(pdata, np.uint32, 2 * sz, o)
+                    .reshape(-1, 2))
+        o += 8 * sz
+
+    # ---- remap arbitrary CMPH ids -> sorted-18-mer ranks
+    order_f = np.argsort(f19, kind="stable")
+    uk19 = f19[order_f]
+    uk19_ids_ref = fid[order_f]
+    kmer18 = (uk19 >> np.uint64(2))
+    uniq18, first = np.unique(kmer18, return_index=True)
+    if len(uniq18) != n_ids:
+        raise ValueError(
+            f"index inconsistent: {len(uniq18)} unique 18-mers vs "
+            f"{n_ids} position ids")
+    ref_id_of_rank = uk19_ids_ref[first]      # rank -> reference id
+    rank_of_ref = np.zeros(n_ids, np.int64)
+    rank_of_ref[ref_id_of_rank] = np.arange(n_ids)
+
+    pos_offsets = np.zeros(n_ids + 1, np.int64)
+    np.cumsum(sizes[ref_id_of_rank], out=pos_offsets[1:])
+    pos_seq = np.zeros(int(pos_offsets[-1]), np.uint32)
+    pos_pos = np.zeros(int(pos_offsets[-1]), np.uint32)
+    for rank in range(n_ids):
+        a = arrs[int(ref_id_of_rank[rank])]
+        lo, hi = pos_offsets[rank], pos_offsets[rank + 1]
+        pos_pos[lo:hi] = a[:, 0]
+        pos_seq[lo:hi] = a[:, 1]
+
+    # R entries sorted by (prefix c2..c18, c1, id) like build_part
+    mask_rkey = np.uint64((1 << (4 * _PW)) - 1)
+    mask_rpref = np.uint64((1 << (4 * _PW - 2)) - 1)
+    r_rkey = r19 & mask_rkey
+    r_rank = rank_of_ref[rid.astype(np.int64)].astype(np.uint32)
+    r_sortkey = ((r_rkey & mask_rpref) << np.uint64(2)) \
+        | (r_rkey >> np.uint64(4 * _PW - 2))
+    r_order = np.lexsort((r_rank, r_sortkey))
+
+    return dict(
+        kmers18=uniq18,
+        pos_offsets=pos_offsets,
+        pos_seq=pos_seq,
+        pos_pos=pos_pos,
+        kmer_counts=counts,
+        uk19=uk19,
+        uk19_ids=rank_of_ref[uk19_ids_ref.astype(np.int64)].astype(
+            np.uint32),
+        r_rkey_sorted=r_rkey[r_order],
+        r_ids=r_rank[r_order],
+        r_scan_sorted=rscan[r_order],
+        pw=_PW,
+    )
+
+
+def read_reference_index(prefix: str) -> BuiltIndex:
+    """A BuiltIndex from a workdir indexed in the reference's format."""
+    meta = read_stats(prefix + ".stats")
+    if meta["lnwin"] != 2 * _PW:
+        raise ValueError("reference-format indexes are fixed at L=18")
+    stats = IndexStats(
+        fasta_path=meta["fasta_path"],
+        fasta_size=meta["fasta_size"],
+        background_freq=meta["background_freq"],
+        full_len=meta["full_len"],
+        seed_win_len=meta["lnwin"],
+        numseq=int(meta["numseq"]),
+        sam_sq=meta["sam_sq"],
+    )
+    parts: List[IndexPart] = []
+    first_seq = 0
+    for pn, (start_part, seq_part_size, numseq_part) in \
+            enumerate(meta["parts"]):
+        part = finish_part(read_part(prefix, pn))
+        part.start_part = int(start_part)
+        part.seq_part_size = int(seq_part_size)
+        part.numseq_part = int(numseq_part)
+        part.first_seq = first_seq
+        first_seq += int(numseq_part)
+        parts.append(part)
+    return BuiltIndex(stats=stats, parts=parts)
+
+
+# ---------------------------------------------------------------------------
+# writer
+
+
+def write_reference_index(fasta_path: str, prefix: str,
+                          interval: int = 1, max_pos: int = 10000,
+                          max_file_size_mb: float = 3072.0) -> None:
+    """Index ``fasta_path`` and serialize it in the reference's on-disk
+    format under ``prefix`` (drop-in for a reference workdir).
+
+    Tries are written as flat one-level tries (four depth-1 buckets);
+    the loader accepts any valid shape.  R-trie entry order is the
+    builder's first-occurrence scan order, which carries the 0-error
+    representative semantics (traverse_bursttrie.cpp:237-262)."""
+    metas, bg, full_len, spans, enc_seqs = scan_reference(fasta_path)
+    groups = _part_boundaries([m.length for m in metas],
+                              max_file_size_mb)
+    stats = IndexStats(
+        fasta_path=str(fasta_path),
+        fasta_size=os.path.getsize(fasta_path),
+        background_freq=bg / bg.sum(),
+        full_len=full_len,
+        seed_win_len=2 * _PW,
+        numseq=len(metas),
+        sam_sq=metas,
+    )
+    parts_meta: List[IndexPart] = []
+    for pn, group in enumerate(groups):
+        core = build_part([enc_seqs[i] for i in group], interval, max_pos)
+        core["kmer_counts"].astype(np.uint32).tofile(
+            f"{prefix}.kmer_{pn}.dat")
+
+        # per-id positions in ORIGINAL scan order (ids are our ranks)
+        n_ids = len(core["kmers18"])
+        with open(f"{prefix}.pos_{pn}.dat", "wb") as f:
+            f.write(struct.pack("<I", n_ids))
+            po = core["pos_offsets"]
+            for i in range(n_ids):
+                lo, hi = int(po[i]), int(po[i + 1])
+                f.write(struct.pack("<I", hi - lo))
+                pair = np.empty((hi - lo, 2), np.uint32)
+                pair[:, 0] = core["pos_pos"][lo:hi]
+                pair[:, 1] = core["pos_seq"][lo:hi]
+                f.write(pair.tobytes())
+
+        uk19 = core["uk19"]
+        uids = core["uk19_ids"].astype(np.uint32)
+        keyf = (uk19 >> np.uint64(20)).astype(np.int64)
+        keyr = (uk19 & np.uint64((1 << 18) - 1)).astype(np.int64)
+        # group indices per key: F in any order (uk19 ascending), R in
+        # first-occurrence (insertion) order within each key
+        orderF = np.arange(len(uk19))           # uk19 sorted => grouped
+        fb = np.searchsorted(keyf, np.arange(_HALF + 1))
+        scan_order = np.argsort(core["uk19_first"], kind="stable")
+        orderR = scan_order[np.argsort(keyr[scan_order], kind="stable")]
+        rb = np.searchsorted(keyr[orderR], np.arange(_HALF + 1))
+        with open(f"{prefix}.bursttrie_{pn}.dat", "wb") as f:
+            for key in range(_HALF):
+                selF = orderF[fb[key]:fb[key + 1]]
+                selR = orderR[rb[key]:rb[key + 1]]
+                body_f = _write_trie_payload(uk19[selF], uids[selF],
+                                             reverse=False) \
+                    if len(selF) else b""
+                body_r = _write_trie_payload(uk19[selR], uids[selR],
+                                             reverse=True) \
+                    if len(selR) else b""
+                f.write(struct.pack("<II", _trie_size(body_f),
+                                    _trie_size(body_r)))
+                f.write(body_f)
+                f.write(body_r)
+
+        part = finish_part(core)
+        part.start_part = spans[group[0]][0]
+        part.seq_part_size = spans[group[-1]][1] - spans[group[0]][0]
+        part.numseq_part = len(group)
+        part.first_seq = group[0]
+        parts_meta.append(part)
+    write_stats(prefix + ".stats", stats, parts_meta)
+
+
+def _trie_size(payload: bytes) -> int:
+    return (64 + len(payload)) if payload else 0
+
+
+# bucket burst parameters (indexdb.hpp:57-60, insert_prefix burst rule:
+# burst while depth < pread - partialwin - 3 and size > THRESHOLD)
+_THRESHOLD = 128
+_MAX_BURST_DEPTH = 19 - _PW - 3
+
+
+def _build_trie(rem: np.ndarray, ids: np.ndarray, width: int,
+                depth: int) -> list:
+    """In-memory trie node: 4 elements, each (0,) empty,
+    (1, child_node) or (2, bucket_bytes).  ``rem`` holds the remaining
+    chars MSB-first in ``width`` 2-bit slots; entry order preserved."""
+    top = (rem >> np.uint32(2 * (width - 1))) & np.uint32(3)
+    node = []
+    for c in range(4):
+        sel = np.flatnonzero(top == c)
+        if not len(sel):
+            node.append((0,))
+            continue
+        sub = rem[sel] & np.uint32((1 << (2 * (width - 1))) - 1)
+        if len(sel) * 8 > _THRESHOLD and depth < _MAX_BURST_DEPTH:
+            node.append((1, _build_trie(sub, ids[sel], width - 1,
+                                        depth + 1)))
+        else:
+            enc = _pack_entry_tails(sub, depth)
+            ent = np.empty((len(sel), 2), np.uint32)
+            ent[:, 0] = enc
+            ent[:, 1] = ids[sel]
+            node.append((2, ent.tobytes()))
+    return node
+
+
+def _serialize_trie(root: list) -> bytes:
+    """Breadth-first stream exactly as the reference loader consumes it
+    (index.cpp:164-316): root's four flags, then per element in BFS
+    order -- flag 1 emits its child's four flags inline, flag 2 emits
+    uint32 size + bucket payload."""
+    out = [bytes(el[0] for el in root)]
+    queue = deque([root])
+    while queue:
+        node = queue.popleft()
+        for el in node:
+            if el[0] == 1:
+                out.append(bytes(c[0] for c in el[1]))
+                queue.append(el[1])
+            elif el[0] == 2:
+                out.append(struct.pack("<I", len(el[1])))
+                out.append(el[1])
+    return b"".join(out)
+
+
+def _write_trie_payload(entries19: np.ndarray, ids: np.ndarray,
+                        reverse: bool) -> bytes:
+    """Serialized mini-burst trie body; entry order preserved (it
+    carries the 0-error representative semantics)."""
+    if reverse:
+        suf = np.zeros(len(entries19), np.uint32)
+        for k in range(10):
+            suf = (suf << np.uint32(2)) | (
+                (entries19 >> np.uint64(18 + 2 * k))
+                & np.uint64(3)).astype(np.uint32)
+    else:
+        suf = (entries19 & np.uint64((1 << 20) - 1)).astype(np.uint32)
+    return _serialize_trie(
+        _build_trie(suf, ids.astype(np.uint32), _PW + 1, 1))

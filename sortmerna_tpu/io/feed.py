@@ -244,6 +244,65 @@ def _scan_fasta(buf: np.ndarray, final: bool):
     return hdr, hdr_lens, sdat, seq_lens, consumed
 
 
+def _scan_fasta_native(buf: np.ndarray, final: bool, lib):
+    """C++ single-pass scanner (native/feed_scan.cpp); same contract as
+    _scan_fasta (tests assert identical cache bytes)."""
+    n = len(buf)
+    cap = n // 2 + 2
+    seq_out = np.empty(n, np.uint8)
+    hdr_out = np.empty(n, np.uint8)
+    seq_len = np.empty(cap, np.int64)
+    hdr_len = np.empty(cap, np.int64)
+    counts = np.zeros(3, np.int64)
+    buf = np.ascontiguousarray(buf)
+    consumed = lib.feed_scan_fasta(
+        buf.ctypes.data, n, int(final),
+        seq_out.ctypes.data, seq_len.ctypes.data,
+        hdr_out.ctypes.data, hdr_len.ctypes.data, counts.ctypes.data)
+    if consumed == -1:
+        raise ValueError("malformed FASTA: data before first header")
+    if consumed < 0:
+        raise ValueError("malformed FASTA block")
+    nrec = int(counts[0])
+    if nrec == 0:
+        return None
+    return (hdr_out[:counts[2]].copy(), hdr_len[:nrec].copy(),
+            seq_out[:counts[1]].copy(), seq_len[:nrec].copy(),
+            int(consumed))
+
+
+def _scan_fastq_native(buf: np.ndarray, lib):
+    """C++ single-pass FASTQ scanner; same contract as _scan_fastq."""
+    n = len(buf)
+    cap = n // 4 + 2
+    seq_out = np.empty(n, np.uint8)
+    hdr_out = np.empty(n, np.uint8)
+    qual_out = np.empty(n, np.uint8)
+    seq_len = np.empty(cap, np.int64)
+    hdr_len = np.empty(cap, np.int64)
+    qual_len = np.empty(cap, np.int64)
+    counts = np.zeros(4, np.int64)
+    buf = np.ascontiguousarray(buf)
+    consumed = lib.feed_scan_fastq(
+        buf.ctypes.data, n,
+        seq_out.ctypes.data, seq_len.ctypes.data,
+        hdr_out.ctypes.data, hdr_len.ctypes.data,
+        qual_out.ctypes.data, qual_len.ctypes.data, counts.ctypes.data)
+    if consumed == -2:
+        raise ValueError("malformed FASTQ: header line not starting '@'")
+    if consumed == -3:
+        raise ValueError("malformed FASTQ record: missing '+' line")
+    if consumed < 0:
+        raise ValueError("malformed FASTQ block")
+    nrec = int(counts[0])
+    if nrec == 0:
+        return None
+    return (hdr_out[:counts[2]].copy(), hdr_len[:nrec].copy(),
+            seq_out[:counts[1]].copy(), seq_len[:nrec].copy(),
+            qual_out[:counts[3]].copy(), qual_len[:nrec].copy(),
+            int(consumed))
+
+
 # ---------------------------------------------------------------------------
 # per-file packed cache
 
@@ -283,6 +342,10 @@ class PackedReadsFile:
     def build(self) -> None:
         is_fastq, zipped = sniff_format(self.src)
         os.makedirs(self.dir, exist_ok=True)
+        from .. import native
+        lib = native.get_lib()
+        if lib is not None and os.environ.get("SMR_FEED_NUMPY"):
+            lib = None           # test hook: force the numpy scanners
         hdr_acc, seq_acc, qual_acc = _Acc(), _Acc(), _Acc()
         tail = b""
         blocks = _prefetch_blocks(_iter_blocks(self.src, zipped))
@@ -301,14 +364,16 @@ class PackedReadsFile:
                 data = tail + chunk if tail else chunk
                 buf = np.frombuffer(data, dtype=np.uint8)
             if is_fastq:
-                got = _scan_fastq(buf)
+                got = (_scan_fastq_native(buf, lib) if lib is not None
+                       else _scan_fastq(buf))
                 if got is None:
                     tail = buf.tobytes()
                     continue
                 h, hl, s, sl, q, ql, consumed = got
                 qual_acc.add(q, ql)
             else:
-                got = _scan_fasta(buf, final=done)
+                got = (_scan_fasta_native(buf, done, lib)
+                       if lib is not None else _scan_fasta(buf, final=done))
                 if got is None:
                     tail = buf.tobytes()
                     continue

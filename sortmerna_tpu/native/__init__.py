@@ -33,7 +33,7 @@ def _build() -> Optional[ctypes.CDLL]:
     so = _BUILD_DIR / "libsmrtpu_native.so"
     srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp",
             _SRC_DIR / "probe.cpp", _SRC_DIR / "gumbel.cpp",
-            _SRC_DIR / "driver.cpp"]
+            _SRC_DIR / "driver.cpp", _SRC_DIR / "feed_scan.cpp"]
     hdrs = [_SRC_DIR / "engine_core.hpp"]
     if (not so.exists()
             or any(so.stat().st_mtime < s.stat().st_mtime
@@ -110,6 +110,13 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.trav_timers.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.cand_set_reads.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.cand_set_strand.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.feed_scan_fasta.restype = ctypes.c_int64
+    lib.feed_scan_fasta.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32] + \
+        [ctypes.c_void_p] * 5
+    lib.feed_scan_fastq.restype = ctypes.c_int64
+    lib.feed_scan_fastq.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 7
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx
@@ -138,11 +145,38 @@ def have_native() -> bool:
 def traceback_batch(refs: List[np.ndarray], queries: List[np.ndarray],
                     scores: List[int], bands: List[int],
                     gap_open: int, gap_ext: int, mat: np.ndarray,
-                    cigar_cap: int = 4096) -> List[List[int]]:
+                    cigar_cap: int = 0) -> List[List[int]]:
     """Batched banded traceback; returns a packed CIGAR list per job."""
     lib = _build()
     assert lib is not None
     n = len(refs)
+    if cigar_cap <= 0:
+        # A banded path emits at most rl+ql ops.  Rows are bucketed by
+        # that bound so one MAX_READ_LEN (30K nt) alignment doesn't
+        # inflate the whole batch's output matrix to n x 60K ops: each
+        # bucket gets its own tight cap and the results re-interleave.
+        sizes = [len(r) + len(q) + 8 for r, q in zip(refs, queries)]
+        mx = max(sizes) if n else 8
+        if mx > 1024 and n > 1:
+            buckets = (1024, 8192, mx)
+            groups = [[] for _ in buckets]
+            for i, s in enumerate(sizes):
+                for g, cap in enumerate(buckets):
+                    if s <= cap:
+                        groups[g].append(i)
+                        break
+            result: List = [None] * n
+            for idx, cap in zip(groups, buckets):
+                if not idx:
+                    continue
+                sub = traceback_batch(
+                    [refs[i] for i in idx], [queries[i] for i in idx],
+                    [scores[i] for i in idx], [bands[i] for i in idx],
+                    gap_open, gap_ext, mat, cigar_cap=cap)
+                for i, cg in zip(idx, sub):
+                    result[i] = cg
+            return result
+        cigar_cap = mx
     ref_off = np.zeros(n + 1, dtype=np.int64)
     q_off = np.zeros(n + 1, dtype=np.int64)
     for i in range(n):

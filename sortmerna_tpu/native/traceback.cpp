@@ -20,36 +20,58 @@ namespace {
 struct Cell3 { int8_t de, df, dh; };
 
 // returns cigar length (#runs) or -1 if cigar_cap too small
+//
+// Storage is BAND-LOCAL like the reference's banded_sw (ssw.c:590-650):
+// two rolling H/E rows of width O(band) and a readLen x (2*band+1)
+// direction strip -- O((rl+ql)*band) memory instead of O(rl*ql), which
+// both fits MAX_READ_LEN (30K nt) alignments and keeps short-read jobs
+// cache-resident.  Any cell outside the band reads as (H=0, E=-inf),
+// reproducing the full-matrix fill + band-edge reset exactly; the band
+// shifts one column per row, so a row's value for column c keeps the
+// same local index when the row becomes "previous".
 int traceback_one(const uint8_t* ref, int refLen,
                   const uint8_t* query, int readLen,
                   int score, int gap_open, int gap_ext, int band_width,
                   const int8_t* mat /* 5x5 row-major */,
                   uint32_t* cigar_out, int cigar_cap) {
     const int64_t NEG = -(1LL << 40);
-    std::vector<int64_t> h((readLen + 1) * (refLen + 1), 0);
-    std::vector<int64_t> e((readLen + 1) * (refLen + 1), NEG);
-    std::vector<Cell3> dirs((size_t)readLen * refLen);
-    auto H = [&](int i, int j) -> int64_t& { return h[(size_t)i * (refLen + 1) + j]; };
-    auto E = [&](int i, int j) -> int64_t& { return e[(size_t)i * (refLen + 1) + j]; };
-
+    std::vector<int64_t> prevH, prevE, curH, curE;
+    std::vector<Cell3> dirs;
     int64_t mx = 0;
+    int bw = band_width;
+    int width_d = 0;
     while (true) {
-        std::fill(h.begin(), h.end(), 0);
-        std::fill(e.begin(), e.end(), NEG);
+        int width = 2 * bw + 4;        // band cols + boundary sentinels
+        width_d = 2 * bw + 1;
+        prevH.assign(width, 0);
+        prevE.assign(width, NEG);
+        curH.assign(width, 0);
+        curE.assign(width, NEG);
+        dirs.assign((size_t)readLen * width_d, Cell3{});
         mx = 0;
         for (int i = 0; i < readLen; ++i) {
-            int beg = i - band_width; if (beg < 0) beg = 0;
-            int end = i + band_width; if (end > refLen - 1) end = refLen - 1;
+            int beg = i - bw; if (beg < 0) beg = 0;
+            int end = i + bw; if (end > refLen - 1) end = refLen - 1;
+            std::fill(curH.begin(), curH.end(), 0);
+            std::fill(curE.begin(), curE.end(), NEG);
             int64_t f = 0;
-            Cell3* drow = &dirs[(size_t)i * refLen];
+            Cell3* drow = &dirs[(size_t)i * width_d];
+            // local maps (cell coordinates): current row cell col c sits
+            // at c - i + bw + 1; the previous row's cell col c sits at
+            // c - (i-1) + bw + 1 = c - i + bw + 2.  The band shifts one
+            // column per row, so prev cell col j-1 (the diagonal) shares
+            // the index of current col j -- rows swap without remapping.
             for (int j = beg; j <= end; ++j) {
+                int uc = j - i + bw + 1;
+                int up = j - i + bw + 2;
                 int64_t t1, t2, ecur, fcur, hcur;
                 int8_t de, df, dh;
                 if (i == 0) { t1 = -gap_open; t2 = -gap_ext; }
-                else { t1 = H(i, j + 1) - gap_open; t2 = E(i, j + 1) - gap_ext; }
+                else { t1 = prevH[up] - gap_open;
+                       t2 = prevE[up] - gap_ext; }
                 ecur = t1 > t2 ? t1 : t2;
                 de = t1 > t2 ? 3 : 2;
-                t1 = H(i + 1, j) - gap_open;
+                t1 = curH[uc - 1] - gap_open;
                 t2 = f - gap_ext;
                 fcur = t1 > t2 ? t1 : t2;
                 df = t1 > t2 ? 5 : 4;
@@ -57,32 +79,32 @@ int traceback_one(const uint8_t* ref, int refLen,
                 int64_t e1 = ecur > 0 ? ecur : 0;
                 int64_t f1 = fcur > 0 ? fcur : 0;
                 t1 = e1 > f1 ? e1 : f1;
-                t2 = H(i, j) + mat[ref[j] * 5 + query[i]];
+                t2 = prevH[uc] + mat[ref[j] * 5 + query[i]];
                 hcur = t1 > t2 ? t1 : t2;
                 if (hcur > mx) mx = hcur;
                 dh = (t1 <= t2) ? 1 : (e1 > f1 ? de : df);
-                H(i + 1, j + 1) = hcur;
-                E(i + 1, j + 1) = ecur;
-                drow[j].de = de; drow[j].df = df; drow[j].dh = dh;
+                curH[uc] = hcur;
+                curE[uc] = ecur;
+                Cell3& dc = drow[j - i + bw];
+                dc.de = de; dc.df = df; dc.dh = dh;
             }
-            // band edge reset (ssw.c:635)
-            int edge = end + 1;
-            if (edge <= refLen) { H(i + 1, edge) = 0; E(i + 1, edge) = NEG; }
+            prevH.swap(curH);
+            prevE.swap(curE);
         }
         if (mx >= score) break;
-        band_width *= 2;
-        if (band_width > refLen + readLen) {
-            band_width = refLen + readLen;  // give up on next pass
+        bw *= 2;
+        if (bw > refLen + readLen) {
+            bw = refLen + readLen;          // give up on next pass
             if (mx >= score) break;
         }
-        if (band_width >= refLen + readLen && mx < score) {
+        if (bw >= refLen + readLen && mx < score) {
             // full band already evaluated and still below: cannot reproduce
             // score -- emit with whatever band (matches ssw abort path)
             break;
         }
     }
 
-    // traceback (ssw.c:673-747)
+    // traceback (ssw.c:673-747); direction lookups are band-local
     int i = readLen - 1, j = refLen - 1;
     int table = 2;   // 0=e 1=f 2=h
     int cur_op = 0, cur_n = 0;
@@ -90,7 +112,9 @@ int traceback_one(const uint8_t* ref, int refLen,
     std::vector<uint32_t> rev;
     rev.reserve(64);
     while (i > 0) {
-        const Cell3& c = dirs[(size_t)i * refLen + j];
+        int du = j - i + bw;
+        if (du < 0 || du >= width_d) return -2;  // left the band
+        const Cell3& c = dirs[(size_t)i * width_d + du];
         int d = (table == 0) ? c.de : (table == 1) ? c.df : c.dh;
         int f_op;
         switch (d) {

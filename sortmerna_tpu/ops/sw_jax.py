@@ -301,6 +301,11 @@ class JaxSwBackend:
     _LEN_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
                    65536)
     BLOCK = 4096
+    # per-block cell budget rows*(lq+lr): full 4096-row blocks up to
+    # 1024-char tiles; 30K-nt (32768-bucket) jobs drop to 64 rows --
+    # (256, 32768, 32768) was measured to crash the TPU worker (working
+    # set ~170MB/op), (64, 32768, 32768) computes fine
+    BLOCK_CELLS = 4 << 20
 
     @classmethod
     def _len_bucket(cls, n: int) -> int:
@@ -379,12 +384,25 @@ class JaxSwBackend:
             np.zeros(0, np.int64)
         pending = []
         from ..util import timed
-        for b0 in range(0, n, self.BLOCK):
-            ba = order[b0:b0 + self.BLOCK]
-            B = self.BLOCK if (n > self.BLOCK or self._pad_full_block) \
+        b0 = 0
+        while b0 < n:
+            tent = order[b0:b0 + self.BLOCK]
+            lq = self._len_bucket(int(q_len[tent].max()))
+            lr = self._len_bucket(int(r_len[tent].max()))
+            # long jobs (30K-nt reads) shrink the row count so one
+            # block's device working set stays bounded; jobs are sorted
+            # by size, so long jobs cluster in their own blocks and the
+            # short-read path (lq+lr <= 1024) keeps the full BLOCK
+            rows = self.BLOCK
+            while rows > 64 and rows * (lq + lr) > self.BLOCK_CELLS:
+                rows //= 4
+            ba = tent[:rows]
+            b0 += len(ba)
+            if len(ba) < len(tent):
+                lq = self._len_bucket(int(q_len[ba].max()))
+                lr = self._len_bucket(int(r_len[ba].max()))
+            B = rows if (n > rows or self._pad_full_block) \
                 else self._min_block(len(ba))
-            lq = self._len_bucket(int(q_len[ba].max()))
-            lr = self._len_bucket(int(r_len[ba].max()))
             buf = np.zeros((B, lq + lr + 12), np.uint8)
             buf[:, :lq] = gather_rows_u8(
                 q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)

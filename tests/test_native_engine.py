@@ -73,6 +73,8 @@ def test_native_matches_python(subset, kw):
         assert len(a.alignments) == len(b.alignments), i
         for x, y in zip(a.alignments, b.alignments):
             assert (x.ref_num, x.score1, x.ref_begin1, x.ref_end1,
-                    x.read_begin1, x.read_end1, x.strand, x.cigar) == \
+                    x.read_begin1, x.read_end1, x.strand,
+                    list(x.cigar)) == \
                    (y.ref_num, y.score1, y.ref_begin1, y.ref_end1,
-                    y.read_begin1, y.read_end1, y.strand, y.cigar), i
+                    y.read_begin1, y.read_end1, y.strand,
+                    list(y.cigar)), i
