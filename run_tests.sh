@@ -6,5 +6,11 @@
 # -- in-process env changes (tests/conftest.py) come too late.  The var
 # must be emptied in the environment BEFORE python starts, or any pytest
 # run starves a concurrent/subsequent real-TPU bench for ~15 min.
-exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+#
+# The original values are stashed (SMR_SAVED_*) so opt-in hardware
+# tests (test_stress_1m) can restore them for a subprocess.
+exec env \
+    SMR_SAVED_AXON="${PALLAS_AXON_POOL_IPS-}" \
+    SMR_SAVED_JAX="${JAX_PLATFORMS-}" \
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python -m pytest "$@"

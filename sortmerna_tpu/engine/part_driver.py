@@ -24,8 +24,14 @@ from .. import native
 from .candidates import Opts, PartContext, Readstats
 from .read import Alignment, ReadState
 
-# buffer-table slot order -- must mirror enum Buf in native/driver.cpp
-_PART_BUFS = 22   # probe-table slots (SeedSearcher._cbufs order)
+def _span_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array concatenating [s, s+len) spans."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(np.asarray(starts, np.int64), lens))
 
 
 def _part_probe_bufs(part):
@@ -84,10 +90,12 @@ class NativePartDriver:
 
         from ..util import timed
         with timed("batch_enc"):
-            # encodings cache on the batch; the offs slice view keeps
-            # ABSOLUTE offsets so sub-range drivers share the buffers
+            # encodings cache on the batch (one native pass); the offs
+            # slice view keeps ABSOLUTE offsets so sub-range drivers
+            # share the buffers
             self.reads_off = np.ascontiguousarray(
                 batch.offs[lo:hi + 1], np.int64)
+            batch.ensure_strands()
             self.f03 = np.ascontiguousarray(batch.concat03(True))
             self.r03 = np.ascontiguousarray(batch.concat03(False))
             self.f04 = np.ascontiguousarray(batch.concat04(True))
@@ -141,6 +149,7 @@ class NativePartDriver:
                 ixs = np.asarray(ix_l or [0], np.int32)
         self._hit_seeds_in = hit_seeds
         self._is_done_in = is_done
+        self._fresh = states_fresh
 
         single = opts.is_forward ^ opts.is_reverse
         num_strands = 1 if single else 2
@@ -249,16 +258,23 @@ class NativePartDriver:
             st.max_index = row[4]
             st.hit_seeds = row[5]
             st.is_done = bool(row[6])
-        touched = np.flatnonzero(flags & 2)
         idx_num, part_num = self.ctx.index_num, self.ctx.part_num
-        for i in touched.tolist():
-            st = states[i]
-            st.last_index = idx_num
-            st.last_part = part_num
+        # last_index/last_part mirror the reference's KVDB blob
+        # bookkeeping (read.cpp:429-462); nothing reads them back in
+        # this engine, so writing the default (0,0) onto fresh states
+        # is a no-op worth skipping -- the common single-part case
+        if not (idx_num == 0 and part_num == 0 and self._fresh):
+            touched = np.flatnonzero(flags & 2)
+            for i in touched.tolist():
+                st = states[i]
+                st.last_index = idx_num
+                st.last_part = part_num
 
         # actions -> Alignment records (CIGARs deferred; the traceback
         # windows copy out now, materialized for survivors in one
-        # batched call, run.materialize_cigars)
+        # batched call, run.materialize_cigars).  Window bytes gather
+        # into two per-part buffers with vectorized indexing; each
+        # action's tb holds cheap views into them.
         n_act = lib.cand_num_actions(self.heng)
         if n_act:
             fields = np.zeros((n_act, 14), np.int32)
@@ -266,33 +282,42 @@ class NativePartDriver:
             lib.cand_export_actions(self.heng, fields.ctypes.data,
                                     woffs.ctypes.data)
             reads_off = self.reads_off
+            rl = fields[:, 10].astype(np.int64)
+            ql = fields[:, 11].astype(np.int64)
+            r_out = np.zeros(n_act + 1, np.int64)
+            q_out = np.zeros(n_act + 1, np.int64)
+            np.cumsum(rl, out=r_out[1:])
+            np.cumsum(ql, out=q_out[1:])
+            rbuf = self.refs_data[_span_gather(woffs[:, 0], rl)]
+            fwd_mask = fields[:, 13].astype(bool)
+            qidx = _span_gather(woffs[:, 1], ql)
+            qsrc = np.where(np.repeat(fwd_mask, ql),
+                            self.f04[qidx], self.r04[qidx])
+            frows = fields.tolist()
             for i in range(n_act):
-                f = fields[i]
-                ord_ = int(f[0])
+                f = frows[i]
+                ord_ = f[0]
                 st = states[ord_]
-                fwd = bool(f[13])
-                q_data = self.f04 if fwd else self.r04
-                rw0, qw0 = int(woffs[i, 0]), int(woffs[i, 1])
                 aln = Alignment(
                     index_num=idx_num,
                     part=part_num,
-                    ref_num=int(f[4]),
-                    read_begin1=int(f[8]),
-                    read_end1=int(f[9]),
-                    ref_begin1=int(f[6]),
-                    ref_end1=int(f[7]),
+                    ref_num=f[4],
+                    read_begin1=f[8],
+                    read_end1=f[9],
+                    ref_begin1=f[6],
+                    ref_end1=f[7],
                     readlen=int(reads_off[ord_ + 1] - reads_off[ord_]),
-                    score1=int(f[5]),
-                    strand=fwd,
+                    score1=f[5],
+                    strand=bool(f[13]),
                     cigar=None,
-                    tb=(self.refs_data[rw0:rw0 + int(f[10])].copy(),
-                        q_data[qw0:qw0 + int(f[11])].copy(),
-                        int(f[12])),
+                    tb=(rbuf[r_out[i]:r_out[i + 1]],
+                        qsrc[q_out[i]:q_out[i + 1]],
+                        f[12]),
                 )
                 if f[1] == 0:
                     st.alignments.append(aln)
                 else:
-                    st.alignments[int(f[2])] = aln
+                    st.alignments[f[2]] = aln
                 st.is_new_hit = True
             lib.cand_clear_actions(self.heng)
 

@@ -41,6 +41,9 @@ class Alignment:
     # for engine-produced alignments are materialized in one batched
     # native call for SURVIVORS only (run.materialize_cigars)
     tb: object = None
+    # cached (miss, gap, match, idr, cov) from the batched CIGAR-stats
+    # pass (reports/cigar_stats.py); calc_miss_gap_match consults this
+    mgm: object = None
 
 
 @dataclass
@@ -201,6 +204,34 @@ class ReadBatch:
         self._fwd04 = None
         self._rev04 = None
         self._revperm = None
+
+    def ensure_strands(self) -> None:
+        """Fill all strand-encoding caches in one native pass
+        (native/feed_scan.cpp batch_strands) -- avoids three large
+        numpy passes plus the materialized reverse permutation.  Falls
+        back to the lazy numpy properties without the native lib."""
+        if (self._rev03 is not None and self._fwd04 is not None
+                and self._rev04 is not None):
+            return
+        from .. import native
+        lib = native.get_lib()
+        if lib is None:
+            self.concat03(False)
+            self.concat04(True)
+            self.concat04(False)
+            return
+        total = int(self.offs[-1])
+        rev03 = np.empty(total, np.uint8)
+        fwd04 = np.empty(total, np.uint8)
+        rev04 = np.empty(total, np.uint8)
+        fwd03 = np.ascontiguousarray(self.fwd03)
+        offs = np.ascontiguousarray(self.offs, np.int64)
+        amb = np.ascontiguousarray(self.amb, np.int64)
+        lib.batch_strands(fwd03.ctypes.data, offs.ctypes.data, self.n,
+                          amb.ctypes.data, len(amb),
+                          rev03.ctypes.data, fwd04.ctypes.data,
+                          rev04.ctypes.data)
+        self._rev03, self._fwd04, self._rev04 = rev03, fwd04, rev04
 
     @property
     def revperm(self) -> np.ndarray:

@@ -263,9 +263,11 @@ def run_postprocess(ctx: RunContext) -> Dict[str, list]:
     otu_map: Dict[str, list] = {}
     if not (opts.is_otu_map or opts.is_denovo):
         return otu_map
+    from ..reports.cigar_stats import precompute_part_stats
     for idx_num, built in enumerate(ctx.indexes):
         for part_num in range(len(built.parts)):
             ref_seqs, ref_headers = part_ref_context(ctx, idx_num, part_num)
+            precompute_part_stats(ctx, idx_num, part_num, ref_seqs)
             denovo_stats_part(ctx.reads, ctx.states, ref_seqs, idx_num,
                               part_num, opts.min_id, opts.min_cov,
                               ctx.readstats)
@@ -342,10 +344,12 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
 
     # per-part passes for blast/sam (output.cpp:146-149)
     if blast_f or sam_f:
+        from ..reports.cigar_stats import precompute_part_stats
         for idx_num, built in enumerate(ctx.indexes):
             for part_num in range(len(built.parts)):
                 ref_seqs, ref_headers = part_ref_context(
                     ctx, idx_num, part_num)
+                precompute_part_stats(ctx, idx_num, part_num, ref_seqs)
                 for read, st in zip(ctx.reads, ctx.states):
                     if blast_f:
                         blast_f.write(blast_for_read(

@@ -117,6 +117,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.feed_scan_fastq.restype = ctypes.c_int64
     lib.feed_scan_fastq.argtypes = [
         ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 7
+    lib.batch_strands.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 3
+    lib.cigar_stats_batch.argtypes = \
+        [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx

@@ -153,4 +153,75 @@ int64_t feed_scan_fastq(const uint8_t* buf, int64_t n,
     return consumed;
 }
 
+// Per-batch strand encodings in one pass (read.cpp:334-390 semantics,
+// see engine/read.py ReadBatch): from the 03 forward buffer (ambiguous
+// chars already 0) and the ambiguous-position list, produce
+//   rev03  = per-read reversed complement (COMPLEMENT4)
+//   fwd04  = fwd03 with ambiguous -> 4
+//   rev04  = rev03 with mirrored ambiguous -> 4
+// This replaces three 40MB+ numpy passes plus a materialized int64
+// reverse permutation on the hot path.
+void batch_strands(const uint8_t* fwd03, const int64_t* offs,
+                   int64_t n_reads, const int64_t* amb, int64_t n_amb,
+                   uint8_t* rev03, uint8_t* fwd04, uint8_t* rev04) {
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    int64_t total = offs[n_reads];
+    for (int64_t r = 0; r < n_reads; ++r) {
+        int64_t lo = offs[r], hi = offs[r + 1];
+        for (int64_t g = lo; g < hi; ++g) {
+            uint8_t c = fwd03[g];
+            fwd04[g] = c;
+            rev03[lo + hi - 1 - g] = COMP[c];
+        }
+    }
+    std::memcpy(rev04, rev03, (size_t)total);
+    // ambiguous positions -> 4 (mirrored within their read for rev04);
+    // amb is ascending, reads are contiguous: advance the read cursor
+    int64_t r = 0;
+    for (int64_t k = 0; k < n_amb; ++k) {
+        int64_t g = amb[k];
+        while (offs[r + 1] <= g) ++r;
+        fwd04[g] = 4;
+        rev04[offs[r] + offs[r + 1] - 1 - g] = 4;
+    }
+}
+
+// Batched CIGAR-walk statistics (Read::calc_miss_gap_match,
+// read.cpp:547-589) for the report/classification passes: one call per
+// (index part) computes (mismatch, gap, match) counts for every stored
+// alignment.  q comes from the strand-resolved concatenated 04 buffers
+// (read_begin1 indexes the aligned orientation directly).
+void cigar_stats_batch(const uint32_t* cigs, const int64_t* cig_off,
+                       const uint8_t* refs, const int64_t* ref_w,
+                       const uint8_t* f04, const uint8_t* r04,
+                       const uint8_t* strand, const int64_t* q_w,
+                       int64_t n, int32_t* out3 /* n x 3 */) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* q = refs + ref_w[i];
+        const uint8_t* p = (strand[i] ? f04 : r04) + q_w[i];
+        int32_t miss = 0, gap = 0, match = 0;
+        for (int64_t c = cig_off[i]; c < cig_off[i + 1]; ++c) {
+            uint32_t op = cigs[c] & 0xF;
+            int32_t ln = (int32_t)(cigs[c] >> 4);
+            if (op == 0) {
+                int32_t d = 0;
+                for (int32_t k = 0; k < ln; ++k)
+                    if (q[k] != p[k]) ++d;
+                miss += d;
+                match += ln - d;
+                q += ln;
+                p += ln;
+            } else if (op == 1) {
+                p += ln;
+                gap += ln;
+            } else {
+                q += ln;
+                gap += ln;
+            }
+        }
+        int32_t* o = out3 + i * 3;
+        o[0] = miss; o[1] = gap; o[2] = match;
+    }
+}
+
 }  // extern "C"

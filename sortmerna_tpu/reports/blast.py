@@ -34,7 +34,13 @@ def calc_miss_gap_match(ref_seq, read_seq, aln: Alignment):
     read_seq must be the 04-encoded read in the ALIGNED orientation.
     M-runs are compared as array slices (the per-character walk of the
     reference is O(len) python and dominates report generation).
+
+    When the batched precompute has run (reports/cigar_stats.py) the
+    cached tuple is returned directly.
     """
+    m = getattr(aln, "mgm", None)   # getattr: pre-field pickles lack it
+    if m is not None:
+        return m
     import numpy as np
     n_miss = n_gap = n_match = 0
     qb = aln.ref_begin1

@@ -7,6 +7,14 @@ import os
 # ignores JAX_PLATFORMS, and merely initializing it CLAIMS the remote
 # chip, wedging the device for any concurrent/subsequent real-TPU
 # process (claim release takes ~15 min).
+# stash the ambient device env so opt-in hardware tests (e.g.
+# test_stress_1m) can restore it for a SUBPROCESS (this process stays
+# CPU-only).  run_tests.sh stashes earlier -- before python starts --
+# which setdefault respects.
+os.environ.setdefault("SMR_SAVED_AXON",
+                      os.environ.get("PALLAS_AXON_POOL_IPS", ""))
+os.environ.setdefault("SMR_SAVED_JAX",
+                      os.environ.get("JAX_PLATFORMS", ""))
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
