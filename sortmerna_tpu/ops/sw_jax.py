@@ -199,6 +199,23 @@ def _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
     return best, end_ref, end_read
 
 
+def _use_pallas() -> bool:
+    import os
+    return os.environ.get("SMR_PALLAS") == "1"
+
+
+def _scan_dispatch(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
+                   terminate, tscore):
+    """Column scan via the XLA lax.scan (default) or the Pallas kernel
+    (SMR_PALLAS=1; bit-exact -- ops/sw_pallas.py parity tests)."""
+    if _use_pallas():
+        from .sw_pallas import sw_scan_pallas
+        return sw_scan_pallas(Q, row_valid, R, col_valid, mat,
+                              gap_open, gap_ext, terminate, tscore)
+    return _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
+                    terminate, tscore)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "lq", "lr", "gap_open",
                                              "gap_ext"))
 def sw_fused_call(buf, mat, B: int, lq: int, lr: int,
@@ -233,7 +250,7 @@ def sw_fused_call(buf, mat, B: int, lq: int, lr: int,
 
     row_valid = posq < q_len[:, None]
     col_valid = posr < r_len[:, None]
-    score, end_ref, end_read = _sw_scan(
+    score, end_ref, end_read = _scan_dispatch(
         Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
         terminate=False, tscore=None)
     # ssw init semantics: end_read defaults to qlen-1 when nothing scored
@@ -246,7 +263,7 @@ def sw_fused_call(buf, mat, B: int, lq: int, lr: int,
     r_start = lr - 1 - end_ref
     row_valid2 = posq >= q_start[:, None]
     col_valid2 = posr >= r_start[:, None]
-    s2, jstar, istar = _sw_scan(
+    s2, jstar, istar = _scan_dispatch(
         Qf, row_valid2, Rf, col_valid2, mat, gap_open, gap_ext,
         terminate=True, tscore=score)
     ok = (score >= minimal) & (end_ref >= 0)
