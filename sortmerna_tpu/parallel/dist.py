@@ -64,7 +64,7 @@ class MeshSwBackend(JaxSwBackend):
             # padded rows: q_len=r_len=1, minimal=max (never passes)
             ints = np.ones((Bp - B, 3), np.int32)
             ints[:, 2] = 1 << 30
-            pad[:, lq + lr:] = ints.view(np.uint8).reshape(-1, 12)
+            pad[:, lq // 2 + lr // 2:] = ints.view(np.uint8).reshape(-1, 12)
             buf = np.concatenate([buf, pad], axis=0)
         dev = sw_fused_call(
             jax.device_put(jnp.asarray(buf), self._dp), self.mat,
