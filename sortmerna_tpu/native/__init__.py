@@ -122,6 +122,8 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 3
     lib.cigar_stats_batch.argtypes = \
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
+    lib.sw_fill_block.argtypes = \
+        [ctypes.c_void_p] * 8 + [ctypes.c_int64] * 4 + [ctypes.c_void_p]
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx

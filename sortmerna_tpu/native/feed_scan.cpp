@@ -224,4 +224,48 @@ void cigar_stats_batch(const uint32_t* cigs, const int64_t* cig_off,
     }
 }
 
+// Fill one SW upload block (ops/sw_jax.batch_coords_submit layout):
+// per row the query and ref windows packed two chars per byte (high
+// nibble first) followed by (q_len, r_len, minimal) little-endian
+// int32s.  Replaces two [B, L] numpy fancy-gathers + pack per block.
+// sel selects the jobs (size-ordered); rows past n_sel are padding
+// (q_len = r_len = 1, minimal = 1<<30).
+void sw_fill_block(const uint8_t* q_data, const int64_t* q_off,
+                   const int32_t* q_len,
+                   const uint8_t* r_data, const int64_t* r_off,
+                   const int32_t* r_len, const int32_t* minimal,
+                   const int64_t* sel, int64_t n_sel,
+                   int64_t B, int64_t lq, int64_t lr, uint8_t* buf) {
+    const int64_t hq = lq / 2, hr = lr / 2;
+    const int64_t row_bytes = hq + hr + 12;
+    auto pack = [](const uint8_t* src, int64_t len, int64_t lmax,
+                   uint8_t* dst) {
+        int64_t pairs = len / 2;
+        for (int64_t k = 0; k < pairs; ++k)
+            dst[k] = (uint8_t)((src[2 * k] << 4) | src[2 * k + 1]);
+        if (len & 1)
+            dst[pairs] = (uint8_t)(src[len - 1] << 4);
+        int64_t used = (len + 1) / 2;
+        std::memset(dst + used, 0, (size_t)(lmax / 2 - used));
+    };
+    for (int64_t i = 0; i < B; ++i) {
+        uint8_t* row = buf + i * row_bytes;
+        int32_t ints[3];
+        if (i < n_sel) {
+            int64_t j = sel[i];
+            pack(q_data + q_off[j], q_len[j], lq, row);
+            pack(r_data + r_off[j], r_len[j], lr, row + hq);
+            ints[0] = q_len[j];
+            ints[1] = r_len[j];
+            ints[2] = minimal[j];
+        } else {
+            std::memset(row, 0, (size_t)(hq + hr));
+            ints[0] = 1;
+            ints[1] = 1;
+            ints[2] = 1 << 30;
+        }
+        std::memcpy(row + hq + hr, ints, 12);
+    }
+}
+
 }  // extern "C"

@@ -438,21 +438,32 @@ class JaxSwBackend:
             B = rows if (n > rows or self._pad_full_block) \
                 else self._min_block(len(ba))
             hq, hr = lq // 2, lr // 2
-            buf = np.zeros((B, hq + hr + 12), np.uint8)
-            qrows = gather_rows_u8(
-                q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
-            rrows = gather_rows_u8(
-                r_data, r_off[ba], r_len[ba].astype(np.int64), B, lr)
-            # 4-bit pack (chars are 0..4): the link is transfer-bound,
-            # halving upload bytes halves the dominant wave cost
-            buf[:, :hq] = (qrows[:, ::2] << 4) | qrows[:, 1::2]
-            buf[:, hq:hq + hr] = (rrows[:, ::2] << 4) | rrows[:, 1::2]
-            ints = np.ones((B, 3), np.int32)
-            ints[:, 2] = 1 << 30
-            ints[:len(ba), 0] = q_len[ba]
-            ints[:len(ba), 1] = r_len[ba]
-            ints[:len(ba), 2] = minimal[ba]
-            buf[:, hq + hr:] = ints.view(np.uint8).reshape(B, 12)
+            buf = np.empty((B, hq + hr + 12), np.uint8)
+            if self.native is not None:
+                # one C++ pass: gather + 4-bit pack + scalar tail
+                # (chars are 0..4; the link is transfer-bound, so
+                # windows ship two chars per byte)
+                self.native.get_lib().sw_fill_block(
+                    q_data.ctypes.data, q_off.ctypes.data,
+                    q_len.ctypes.data,
+                    r_data.ctypes.data, r_off.ctypes.data,
+                    r_len.ctypes.data, minimal.ctypes.data,
+                    np.ascontiguousarray(ba, np.int64).ctypes.data,
+                    len(ba), B, lq, lr, buf.ctypes.data)
+            else:
+                qrows = gather_rows_u8(
+                    q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
+                rrows = gather_rows_u8(
+                    r_data, r_off[ba], r_len[ba].astype(np.int64), B, lr)
+                buf[:, :hq] = (qrows[:, ::2] << 4) | qrows[:, 1::2]
+                buf[:, hq:hq + hr] = (rrows[:, ::2] << 4) \
+                    | rrows[:, 1::2]
+                ints = np.ones((B, 3), np.int32)
+                ints[:, 2] = 1 << 30
+                ints[:len(ba), 0] = q_len[ba]
+                ints[:len(ba), 1] = r_len[ba]
+                ints[:len(ba), 2] = minimal[ba]
+                buf[:, hq + hr:] = ints.view(np.uint8).reshape(B, 12)
             with timed(f"sw_submit[{B}x{lq}x{lr}]"):
                 dev = self._device_call(buf, B, lq, lr)
             pending.append((ba, dev))
