@@ -122,8 +122,14 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 3
     lib.cigar_stats_batch.argtypes = \
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
-    lib.sw_fill_block.argtypes = \
-        [ctypes.c_void_p] * 8 + [ctypes.c_int64] * 4 + [ctypes.c_void_p]
+    lib.sw_fill_block.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64]       # q_data, q_data_len
+        + [ctypes.c_void_p] * 2                 # q_off, q_len
+        + [ctypes.c_void_p, ctypes.c_int64]     # r_data, r_data_len
+        + [ctypes.c_void_p] * 3                 # r_off, r_len, minimal
+        + [ctypes.c_void_p]                     # sel
+        + [ctypes.c_int64] * 4                  # n_sel, B, lq, lr
+        + [ctypes.c_void_p])                    # buf
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx

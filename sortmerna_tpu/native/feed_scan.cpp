@@ -229,22 +229,43 @@ void cigar_stats_batch(const uint32_t* cigs, const int64_t* cig_off,
 // nibble first) followed by (q_len, r_len, minimal) little-endian
 // int32s.  Replaces two [B, L] numpy fancy-gathers + pack per block.
 // sel selects the jobs (size-ordered); rows past n_sel are padding
-// (q_len = r_len = 1, minimal = 1<<30).
-void sw_fill_block(const uint8_t* q_data, const int64_t* q_off,
-                   const int32_t* q_len,
-                   const uint8_t* r_data, const int64_t* r_off,
-                   const int32_t* r_len, const int32_t* minimal,
+// (q_len = r_len = 1, minimal = 1<<30).  Gathers clamp at the end of
+// the data buffer exactly like the numpy fallback's
+// min(off + pos, data_len - 1) (sw_jax.gather_rows_u8): a window that
+// overruns its buffer repeats the final byte instead of reading OOB.
+void sw_fill_block(const uint8_t* q_data, int64_t q_data_len,
+                   const int64_t* q_off, const int32_t* q_len,
+                   const uint8_t* r_data, int64_t r_data_len,
+                   const int64_t* r_off, const int32_t* r_len,
+                   const int32_t* minimal,
                    const int64_t* sel, int64_t n_sel,
                    int64_t B, int64_t lq, int64_t lr, uint8_t* buf) {
     const int64_t hq = lq / 2, hr = lr / 2;
     const int64_t row_bytes = hq + hr + 12;
-    auto pack = [](const uint8_t* src, int64_t len, int64_t lmax,
-                   uint8_t* dst) {
-        int64_t pairs = len / 2;
-        for (int64_t k = 0; k < pairs; ++k)
-            dst[k] = (uint8_t)((src[2 * k] << 4) | src[2 * k + 1]);
-        if (len & 1)
-            dst[pairs] = (uint8_t)(src[len - 1] << 4);
+    auto pack = [](const uint8_t* data, int64_t data_len, int64_t off,
+                   int64_t len, int64_t lmax, uint8_t* dst) {
+        int64_t safe = data_len - off;       // chars before buffer end
+        if (safe < 0) safe = 0;
+        if (safe > len) safe = len;
+        const uint8_t* src = data + off;
+        if (safe == len) {                   // normal case: no clamp
+            int64_t pairs = len / 2;
+            for (int64_t k = 0; k < pairs; ++k)
+                dst[k] = (uint8_t)((src[2 * k] << 4) | src[2 * k + 1]);
+            if (len & 1)
+                dst[pairs] = (uint8_t)(src[len - 1] << 4);
+        } else {                             // clamped tail repeats
+            const uint8_t last =             //   the final data byte
+                data_len > 0 ? data[data_len - 1] : 0;
+            auto at = [&](int64_t k) {
+                return k < safe ? src[k] : last;
+            };
+            int64_t pairs = len / 2;
+            for (int64_t k = 0; k < pairs; ++k)
+                dst[k] = (uint8_t)((at(2 * k) << 4) | at(2 * k + 1));
+            if (len & 1)
+                dst[pairs] = (uint8_t)(at(len - 1) << 4);
+        }
         int64_t used = (len + 1) / 2;
         std::memset(dst + used, 0, (size_t)(lmax / 2 - used));
     };
@@ -253,8 +274,8 @@ void sw_fill_block(const uint8_t* q_data, const int64_t* q_off,
         int32_t ints[3];
         if (i < n_sel) {
             int64_t j = sel[i];
-            pack(q_data + q_off[j], q_len[j], lq, row);
-            pack(r_data + r_off[j], r_len[j], lr, row + hq);
+            pack(q_data, q_data_len, q_off[j], q_len[j], lq, row);
+            pack(r_data, r_data_len, r_off[j], r_len[j], lr, row + hq);
             ints[0] = q_len[j];
             ints[1] = r_len[j];
             ints[2] = minimal[j];

@@ -442,14 +442,20 @@ class JaxSwBackend:
             if self.native is not None:
                 # one C++ pass: gather + 4-bit pack + scalar tail
                 # (chars are 0..4; the link is transfer-bound, so
-                # windows ship two chars per byte)
+                # windows ship two chars per byte).  `sel` MUST stay
+                # bound to a local for the duration of the call:
+                # .ctypes.data on a temporary yields a pointer into
+                # memory CPython frees before the foreign call runs
+                # (the round-3 segfault).
+                sel = np.ascontiguousarray(ba, np.int64)
                 self.native.get_lib().sw_fill_block(
-                    q_data.ctypes.data, q_off.ctypes.data,
+                    q_data.ctypes.data, len(q_data), q_off.ctypes.data,
                     q_len.ctypes.data,
-                    r_data.ctypes.data, r_off.ctypes.data,
+                    r_data.ctypes.data, len(r_data), r_off.ctypes.data,
                     r_len.ctypes.data, minimal.ctypes.data,
-                    np.ascontiguousarray(ba, np.int64).ctypes.data,
+                    sel.ctypes.data,
                     len(ba), B, lq, lr, buf.ctypes.data)
+                del sel
             else:
                 qrows = gather_rows_u8(
                     q_data, q_off[ba], q_len[ba].astype(np.int64), B, lq)
