@@ -110,9 +110,74 @@ def watchdog():
     os._exit(0)
 
 
+def preflight_child():
+    """BENCH_PREFLIGHT=1 subprocess body: a tiny CPU-backend align over
+    the checked-in 200-read golden set, exercising the NATIVE fill /
+    probe / FSM / traceback paths end-to-end.  Exits non-zero (or dies
+    on a signal) if the host-side pipeline is broken -- catching, in
+    <10s and before the device is ever claimed, the class of bug that
+    zeroed round 3's artifacts."""
+    from sortmerna_tpu.constants import scoring_matrix_5x5
+    from sortmerna_tpu.engine.run import prepare, run_align
+    from sortmerna_tpu.options import RunOptions
+    from sortmerna_tpu.ops.sw_jax import JaxSwBackend
+
+    reads = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "golden", "set2_200.fasta")
+    opts = RunOptions(ref_files=[DB], reads_files=[reads],
+                      workdir="/tmp/bench_preflight_wd")
+    ctx = prepare(opts)
+    mat = scoring_matrix_5x5(opts.match, opts.mismatch, opts.score_n)
+    backend = JaxSwBackend(mat, opts.gap_open, opts.gap_ext)
+    run_align(ctx, sw_backend=backend)
+    n_hit = sum(1 for s in ctx.states if s.is_hit)
+    print(json.dumps({"preflight_aligned": n_hit}), flush=True)
+    if n_hit == 0:
+        raise SystemExit(3)
+
+
+def preflight():
+    """Run the preflight in a CPU-only subprocess (the device claim
+    happens at interpreter startup via the axon sitecustomize, so CPU
+    isolation requires a fresh process).  On a crash, retry without the
+    native library; if numpy-only passes, disable native for the main
+    measurement rather than shipping a zero."""
+    import subprocess
+    env = dict(os.environ, BENCH_PREFLIGHT="1",
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    for attempt, extra in ((1, {}), (2, {"SMR_NO_NATIVE": "1"})):
+        t = time.time()
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=dict(env, **extra), timeout=180,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            log("preflight attempt %d TIMED OUT" % attempt)
+            continue
+        if r.returncode == 0:
+            log("preflight ok in %.1fs%s (%s)"
+                % (time.time() - t,
+                   " [numpy fallback]" if extra else "",
+                   (r.stdout or "").strip().splitlines()[-1]
+                   if r.stdout else ""))
+            if extra:
+                log("NATIVE PATH CRASHED IN PREFLIGHT; "
+                    "measuring with SMR_NO_NATIVE=1")
+                os.environ["SMR_NO_NATIVE"] = "1"
+            return
+        log("preflight attempt %d failed rc=%d\nstderr tail: %s"
+            % (attempt, r.returncode, (r.stderr or "")[-2000:]))
+    log("preflight failed both with and without native; "
+        "continuing anyway (watchdog still guards the line)")
+
+
 def main():
     wd = threading.Thread(target=watchdog, daemon=True)
     wd.start()
+
+    _state["stage"] = "preflight"
+    if os.environ.get("BENCH_SKIP_PREFLIGHT") != "1":
+        preflight()
 
     _state["stage"] = "import-jax"
     log("importing jax")
@@ -167,10 +232,13 @@ def main():
             st.best = opts.min_lis
         return st
 
-    # Warmup: prime JIT shapes on a small slice with throwaway states.
+    # Warmup: prime JIT shapes on a throwaway-state slice of the SAME
+    # size as the first measured chunk, so the compiled wave shapes are
+    # exactly the measurement's (a 512-read warmup compiled different
+    # shapes and the first measured chunk paid fresh JITs).
     _state["stage"] = "warmup"
     from sortmerna_tpu.util import TIMERS, timers_enabled, timers_report
-    warm_n = min(512, len(ctx.reads))
+    warm_n = min(max(CHUNK0, 512), len(ctx.reads))
     t = time.time()
     run_align(slice_ctx(0, warm_n, fresh=True), sw_backend=backend)
     log("warmup (%d reads) in %.1fs" % (warm_n, time.time() - t))
@@ -219,6 +287,11 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_PREFLIGHT") == "1":
+        # subprocess body: no watchdog, no bench line; the exit code
+        # (including death by signal) IS the result
+        preflight_child()
+        raise SystemExit(0)
     try:
         main()
     except BaseException as e:  # noqa: BLE001 - always emit the line
