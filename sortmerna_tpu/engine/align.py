@@ -560,7 +560,7 @@ def align_part(
     # lives on the TPU).
     if (native_ok and ctx.ref_seqs and batch.n
             and not getattr(opts, "device_probe", False)
-            and getattr(part, "seed_win_len", 18) == 18):
+            and 8 <= getattr(part, "seed_win_len", 18) <= 26):
         from .part_driver import NativePartDriver
         from ..util import timed
         overlap = (batch.n >= OVERLAP_MIN_READS

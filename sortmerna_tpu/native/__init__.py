@@ -146,7 +146,7 @@ def _build() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # windows
         + [ctypes.c_int32, ctypes.c_int32]
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-        + [ctypes.c_int32])                                       # threads
+        + [ctypes.c_int32, ctypes.c_int32])                       # threads, pw
     _LIB = lib
     return lib
 

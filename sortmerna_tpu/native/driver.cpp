@@ -249,7 +249,7 @@ static void run_pass_prefix(Driver* d) {
                 (int32_t)d->ip[P_MINOCCUR],
                 (int32_t)d->ip[P_FULL_SEARCH],
                 d->out_win.data(), d->out_id.data(), cap,
-                (int32_t)d->ip[P_THREADS]);
+                (int32_t)d->ip[P_THREADS], (int32_t)d->pw);
             if (n >= 0) break;
             cap = -n + 16;
         }

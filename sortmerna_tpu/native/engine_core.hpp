@@ -205,5 +205,6 @@ int64_t probe_windows(
     const uint32_t* r19_ids,
     const int64_t* w1a, const int64_t* w2a, int64_t nw,
     int32_t minoccur, int32_t full_search,
-    int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads);
+    int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads,
+    int32_t pw);
 }

@@ -1,8 +1,13 @@
 // Native seed-probe kernel: the enumerate-and-probe window search
 // (ops/seed_probe.py) in C++ for the host path.  Semantics identical to
 // the numpy backend (and to the reference trie traversal): subsearch 1a/1b
-// closed-form d<=1 neighborhoods, 9-mer occurrence gate, 0-error
+// closed-form d<=1 neighborhoods, pw-mer occurrence gate, 0-error
 // short-circuit modes, per-window id de-duplication.
+//
+// Parameterized over the seed half-window pw = L/2 for every even
+// -L in 8..26 (options.cpp opt_L: the reference handles -L uniformly;
+// so does this kernel).  The hot default pw=9 (L=18) is compiled as a
+// template instantiation so its shifts and loop bounds stay constants.
 //
 // The hash tables are the open-addressing tables built by
 // index/hashtab.py; the mixing function below must match hash_u64 there
@@ -45,14 +50,10 @@ static inline int64_t find_slot(const uint64_t* keys, int64_t size,
     return -1;
 }
 
-static inline uint64_t rev9(uint64_t p) {
+// reverse the `width` 2-bit chars of a packed value
+static inline uint64_t rev_chars(uint64_t p, int width) {
     uint64_t out = 0;
-    for (int i = 0; i < 9; ++i) { out = (out << 2) | (p & 3); p >>= 2; }
-    return out;
-}
-static inline uint64_t rev8(uint64_t p) {
-    uint64_t out = 0;
-    for (int i = 0; i < 8; ++i) { out = (out << 2) | (p & 3); p >>= 2; }
+    for (int i = 0; i < width; ++i) { out = (out << 2) | (p & 3); p >>= 2; }
     return out;
 }
 
@@ -67,7 +68,7 @@ struct Tables {
     const uint64_t* k19_k; const uint32_t* k19_v; int64_t k19_n;
     const uint32_t* r_ids;
     const uint32_t* counts9;
-    // bucket-scan tables (unique 19-mers per half key)
+    // bucket-scan tables (unique (L+1)-mers per half key)
     const uint32_t* f19_off; const uint32_t* f19_tails;
     const uint32_t* f19_ids;
     const uint32_t* r19_off; const uint32_t* r19_tails;
@@ -78,22 +79,23 @@ static inline void add_id(std::vector<int64_t>& ids, int64_t v) {
     ids.push_back(v);
 }
 
-constexpr uint32_t MASK18 = (1u << 18) - 1;
-
 // Closed-form d<=1 tail acceptance (ops/seed_math.py accept_tail):
-// w10: packed 10-char tail (20 bits, first char most significant);
-// p: packed 9-char pattern.  Returns 1 = hit, 2 = zero(+hit).
-static inline int accept_tail_c(uint32_t w10, uint32_t p) {
-    uint32_t w9 = (w10 >> 2) & MASK18;
+// w_tail: packed (PW+1)-char tail (2*PW+2 bits, first char most
+// significant); p: packed PW-char pattern.  Returns 1 = hit,
+// 2 = zero(+hit).
+template <int PW>
+static inline int accept_tail_c(uint32_t w_tail, uint32_t p) {
+    constexpr uint32_t MASK_HALF = (1u << (2 * PW)) - 1;
+    uint32_t w9 = (w_tail >> 2) & MASK_HALF;
     uint32_t x = w9 ^ p;
     if (x == 0) return 2;
     int nb = 32 - __builtin_clz(x);
-    int L = 8 - ((nb - 1) >> 1);
-    uint32_t mask = (1u << (2 * (8 - L))) - 1;
+    int L = (PW - 1) - ((nb - 1) >> 1);
+    uint32_t mask = (1u << (2 * (PW - 1 - L))) - 1;
     if ((x & mask) == 0) return 1;                              // sub
-    if ((((w10 >> 4) ^ p) & mask) == 0) return 1;               // del
-    uint32_t mask_ins = (1u << (2 * (9 - L))) - 1;
-    if (((w10 ^ p) & mask_ins) == 0) return 1;                  // ins
+    if ((((w_tail >> 4) ^ p) & mask) == 0) return 1;            // del
+    uint32_t mask_ins = (1u << (2 * (PW - L))) - 1;
+    if (((w_tail ^ p) & mask_ins) == 0) return 1;               // ins
     return 0;
 }
 
@@ -102,10 +104,12 @@ constexpr uint32_t SCAN_MAX = 1024;
 
 // probe windows [lo, hi) into a local (win, id) vector (one thread's
 // slice; window order within the slice matches the sequential scan)
+template <int PW>
 static void probe_range(
     const Tables& t, const int64_t* w1a, const int64_t* w2a,
     int64_t lo, int64_t hi, int32_t minoccur, int32_t full_search,
     std::vector<std::pair<int64_t, int64_t>>& out) {
+    constexpr int H = 2 * PW;               // bits per half
     std::vector<int64_t> ids;
     ids.reserve(256);
 
@@ -123,7 +127,8 @@ static void probe_range(
             if (b1 - b0 <= SCAN_MAX) {
                 // bucket scan with the closed-form acceptance
                 for (uint32_t e = b0; e < b1; ++e) {
-                    int r = accept_tail_c(t.f19_tails[e], (uint32_t)w2);
+                    int r = accept_tail_c<PW>(t.f19_tails[e],
+                                              (uint32_t)w2);
                     if (r == 2 && !full_search) {
                         single = (int64_t)t.f19_ids[e];
                         break;
@@ -133,32 +138,33 @@ static void probe_range(
             } else {
                 // probe enumeration (hot bucket)
                 if (!full_search) {
-                    int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << 18) | w2);
+                    int64_t s = find_slot(t.fx_k, t.fx_n, (w1 << H) | w2);
                     if (s >= 0) single = (int64_t)t.fx_v[s];
                 }
                 if (single < 0) {
                     {
                         int64_t s = find_slot(t.fx_k, t.fx_n,
-                                              (w1 << 18) | w2);
+                                              (w1 << H) | w2);
                         if (s >= 0) add_id(ids, t.fx_v[s]);
                     }
-                    for (int i = 0; i < 9; ++i) {
-                        int shift = 2 * (8 - i);
+                    for (int i = 0; i < PW; ++i) {
+                        int shift = 2 * (PW - 1 - i);
                         uint64_t cleared = w2 & ~(3ull << shift);
                         for (uint64_t c = 0; c < 4; ++c) {
                             uint64_t v = cleared | (c << shift);
                             if (v == w2) continue;
                             int64_t s = find_slot(t.fx_k, t.fx_n,
-                                                  (w1 << 18) | v);
+                                                  (w1 << H) | v);
                             if (s >= 0) add_id(ids, t.fx_v[s]);
                         }
                     }
-                    for (int k = 0; k < 9; ++k) {
-                        uint64_t hi = w2 >> (2 * (9 - k));
-                        uint64_t lo = w2 & ((1ull << (2 * (8 - k))) - 1);
-                        uint64_t d8 = (hi << (2 * (8 - k))) | lo;
+                    for (int k = 0; k < PW; ++k) {
+                        uint64_t hi2 = w2 >> (2 * (PW - k));
+                        uint64_t lo2 = w2
+                            & ((1ull << (2 * (PW - 1 - k))) - 1);
+                        uint64_t d8 = (hi2 << (2 * (PW - 1 - k))) | lo2;
                         int64_t s = find_slot(t.fp_k, t.fp_n,
-                                              (w1 << 16) | d8);
+                                              (w1 << (H - 2)) | d8);
                         if (s >= 0) {
                             uint32_t st = t.fp_s[s], c = t.fp_c[s];
                             for (uint32_t j = 0; j < c; ++j)
@@ -166,14 +172,15 @@ static void probe_range(
                         }
                     }
                     uint64_t p8 = w2 & 3;
-                    for (int k = 0; k < 9; ++k) {
-                        uint64_t hi = w2 >> (2 * (9 - k));
+                    for (int k = 0; k < PW; ++k) {
+                        uint64_t hi2 = w2 >> (2 * (PW - k));
                         uint64_t mid = (w2 >> 2)
-                                       & ((1ull << (2 * (8 - k))) - 1);
+                            & ((1ull << (2 * (PW - 1 - k))) - 1);
                         for (uint64_t c = 0; c < 4; ++c) {
-                            uint64_t v9 = (((hi << 2) | c)
-                                           << (2 * (8 - k))) | mid;
-                            uint64_t key = (w1 << 20) | (v9 << 2) | p8;
+                            uint64_t v9 = (((hi2 << 2) | c)
+                                           << (2 * (PW - 1 - k))) | mid;
+                            uint64_t key = (w1 << (H + 2)) | (v9 << 2)
+                                           | p8;
                             int64_t s = find_slot(t.k19_k, t.k19_n, key);
                             if (s >= 0) add_id(ids, t.k19_v[s]);
                         }
@@ -183,12 +190,13 @@ static void probe_range(
         }
         // ---------------- subsearch 1b (exact w2 half)
         if (single < 0 && gate_r) {
-            uint64_t p_r = rev9(w1);
+            uint64_t p_r = rev_chars(w1, PW);
             uint32_t b0 = t.r19_off[w2], b1 = t.r19_off[w2 + 1];
             bool zero_b = false;
             if (b1 - b0 <= SCAN_MAX) {
                 for (uint32_t e = b0; e < b1; ++e) {
-                    int r = accept_tail_c(t.r19_tails[e], (uint32_t)p_r);
+                    int r = accept_tail_c<PW>(t.r19_tails[e],
+                                              (uint32_t)p_r);
                     if (r == 2 && !full_search) {
                         zero_b = true;
                         break;
@@ -197,21 +205,21 @@ static void probe_range(
                 }
             } else {
                 if (!full_search) {
-                    int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
+                    int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << H) | w2);
                     if (s >= 0) zero_b = true;
                 }
                 if (!zero_b) {
-                    for (int col = 0; col < 37; ++col) {
+                    for (int col = 0; col < 4 * PW + 1; ++col) {
                         uint64_t v;
                         if (col == 0) v = p_r;
                         else {
                             int i = (col - 1) / 4;
                             uint64_t c = (uint64_t)((col - 1) % 4);
-                            int shift = 2 * (8 - i);
+                            int shift = 2 * (PW - 1 - i);
                             v = (p_r & ~(3ull << shift)) | (c << shift);
                             if (v == p_r) continue;
                         }
-                        uint64_t key = (rev9(v) << 18) | w2;
+                        uint64_t key = (rev_chars(v, PW) << H) | w2;
                         int64_t s = find_slot(t.rx_k, t.rx_n, key);
                         if (s >= 0) {
                             uint32_t st = t.rx_s[s], c2 = t.rx_c[s];
@@ -219,11 +227,12 @@ static void probe_range(
                                 add_id(ids, t.r_ids[st + j]);
                         }
                     }
-                    for (int k = 0; k < 9; ++k) {
-                        uint64_t hi = p_r >> (2 * (9 - k));
-                        uint64_t lo = p_r & ((1ull << (2 * (8 - k))) - 1);
-                        uint64_t d8 = (hi << (2 * (8 - k))) | lo;
-                        uint64_t key = (rev8(d8) << 18) | w2;
+                    for (int k = 0; k < PW; ++k) {
+                        uint64_t hi2 = p_r >> (2 * (PW - k));
+                        uint64_t lo2 = p_r
+                            & ((1ull << (2 * (PW - 1 - k))) - 1);
+                        uint64_t d8 = (hi2 << (2 * (PW - 1 - k))) | lo2;
+                        uint64_t key = (rev_chars(d8, PW - 1) << H) | w2;
                         int64_t s = find_slot(t.rp_k, t.rp_n, key);
                         if (s >= 0) {
                             uint32_t st = t.rp_s[s], c2 = t.rp_c[s];
@@ -231,16 +240,16 @@ static void probe_range(
                                 add_id(ids, t.r_ids[st + j]);
                         }
                     }
-                    uint64_t c0 = w1 >> 16;
-                    for (int k = 0; k < 9; ++k) {
-                        uint64_t hi = p_r >> (2 * (9 - k));
+                    uint64_t c0 = w1 >> (H - 2);
+                    for (int k = 0; k < PW; ++k) {
+                        uint64_t hi2 = p_r >> (2 * (PW - k));
                         uint64_t mid = (p_r >> 2)
-                                       & ((1ull << (2 * (8 - k))) - 1);
+                            & ((1ull << (2 * (PW - 1 - k))) - 1);
                         for (uint64_t c = 0; c < 4; ++c) {
-                            uint64_t v9 = (((hi << 2) | c)
-                                           << (2 * (8 - k))) | mid;
-                            uint64_t key = (c0 << 36)
-                                           | (rev9(v9) << 18) | w2;
+                            uint64_t v9 = (((hi2 << 2) | c)
+                                           << (2 * (PW - 1 - k))) | mid;
+                            uint64_t key = (c0 << (2 * H))
+                                           | (rev_chars(v9, PW) << H) | w2;
                             int64_t s = find_slot(t.k19_k, t.k19_n, key);
                             if (s >= 0) add_id(ids, t.k19_v[s]);
                         }
@@ -250,7 +259,7 @@ static void probe_range(
             if (zero_b) {
                 // first-inserted representative (traverse_bursttrie
                 // 237-262) from the R-exact table
-                int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << 18) | w2);
+                int64_t s = find_slot(t.rx_k, t.rx_n, (w1 << H) | w2);
                 if (s >= 0) single = (int64_t)t.rx_z[s];
             }
         }
@@ -265,6 +274,27 @@ static void probe_range(
     }
 }
 
+using ProbeFn = void (*)(const Tables&, const int64_t*, const int64_t*,
+                         int64_t, int64_t, int32_t, int32_t,
+                         std::vector<std::pair<int64_t, int64_t>>&);
+
+// one instantiation per even L in 8..26 (pw 4..13)
+static ProbeFn probe_fn_for(int pw) {
+    switch (pw) {
+    case 4:  return probe_range<4>;
+    case 5:  return probe_range<5>;
+    case 6:  return probe_range<6>;
+    case 7:  return probe_range<7>;
+    case 8:  return probe_range<8>;
+    case 9:  return probe_range<9>;
+    case 10: return probe_range<10>;
+    case 11: return probe_range<11>;
+    case 12: return probe_range<12>;
+    case 13: return probe_range<13>;
+    default: return nullptr;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -272,7 +302,8 @@ extern "C" {
 // Returns number of (win, id) pairs written, or -(needed) if cap is too
 // small (caller retries with a bigger buffer).  Windows are partitioned
 // over `threads` host threads; chunk concatenation preserves the
-// sequential per-window output order exactly.
+// sequential per-window output order exactly.  pw = seed_win_len / 2
+// (4..13); returns INT64_MIN on an unsupported pw.
 int64_t probe_windows(
     const uint64_t* fx_k, const uint32_t* fx_v, int64_t fx_n,
     const uint64_t* fp_k, const uint32_t* fp_s, const uint32_t* fp_c,
@@ -289,8 +320,11 @@ int64_t probe_windows(
     const uint32_t* r19_ids,
     const int64_t* w1a, const int64_t* w2a, int64_t nw,
     int32_t minoccur, int32_t full_search,
-    int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads) {
+    int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads,
+    int32_t pw) {
 
+    ProbeFn fn = probe_fn_for(pw);
+    if (!fn) return INT64_MIN;
     Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
              rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
              k19_k, k19_v, k19_n, r_ids, counts9,
@@ -299,12 +333,12 @@ int64_t probe_windows(
     if ((int64_t)nt > nw) nt = nw > 0 ? (int)nw : 1;
     std::vector<std::vector<std::pair<int64_t, int64_t>>> outs(nt);
     if (nt <= 1) {
-        probe_range(t, w1a, w2a, 0, nw, minoccur, full_search, outs[0]);
+        fn(t, w1a, w2a, 0, nw, minoccur, full_search, outs[0]);
     } else {
         std::vector<std::thread> ths;
         for (int i = 0; i < nt; ++i) {
             int64_t lo = nw * i / nt, hi = nw * (i + 1) / nt;
-            ths.emplace_back(probe_range, std::cref(t), w1a, w2a, lo, hi,
+            ths.emplace_back(fn, std::cref(t), w1a, w2a, lo, hi,
                              minoccur, full_search, std::ref(outs[i]));
         }
         for (auto& th : ths) th.join();

@@ -108,8 +108,8 @@ class SeedSearcher:
         self.full_search = full_search
         self.threads = max(1, threads)
         self._lib = None
-        if use_native and self.pw == 9:
-            # the native kernel is specialized to the default L=18
+        if use_native and 4 <= self.pw <= 13:
+            # the native kernel instantiates every even L in 8..26
             from .. import native
             self._lib = native.get_lib()
             if self._lib is not None:
@@ -156,7 +156,7 @@ class SeedSearcher:
                 w1.ctypes.data, w2.ctypes.data, nw,
                 self.minoccur, int(self.full_search),
                 out_win.ctypes.data, out_id.ctypes.data, cap,
-                self.threads)
+                self.threads, self.pw)
             if n >= 0:
                 return out_win[:n], out_id[:n]
             cap = int(-n) + 16

@@ -37,6 +37,58 @@ def test_builder_widths(L):
 
 
 @pytest.mark.parametrize("L", [14, 22])
+def test_native_prober_matches_numpy(L):
+    """probe.cpp is instantiated per pw (4..13); its output must be
+    bit-equal to the numpy prober at every L, not only the default 18."""
+    from sortmerna_tpu import native
+    if not native.have_native():
+        pytest.skip("no native library")
+    built = build_index(REF, seed_win_len=L)
+    part = built.parts[0]
+    pw = L // 2
+    rng = np.random.default_rng(5)
+    w1 = rng.integers(0, 1 << (2 * pw), size=4000).astype(np.int64)
+    w2 = rng.integers(0, 1 << (2 * pw), size=4000).astype(np.int64)
+    real = part.kmers18[
+        rng.integers(0, len(part.kmers18), size=800)].astype(np.int64)
+    w1 = np.concatenate([w1, real >> (2 * pw)])
+    w2 = np.concatenate([w2, real & ((1 << (2 * pw)) - 1)])
+
+    host = SeedSearcher(part, use_native=False)
+    nat = SeedSearcher(part, use_native=True, threads=2)
+    assert nat._lib is not None, "native prober did not engage"
+    hw, hid = host.search_windows(w1, w2)
+    nw_, nid = nat.search_windows(w1, w2)
+    order_h = np.lexsort((hid, hw))
+    order_n = np.lexsort((nid, nw_))
+    np.testing.assert_array_equal(hw[order_h], nw_[order_n])
+    np.testing.assert_array_equal(hid[order_h], nid[order_n])
+
+
+def test_native_part_driver_engages_at_L14(tmp_path, monkeypatch):
+    """-L != 18 must use the all-C++ part driver, not the Python pass
+    loop (the round-3 perf cliff)."""
+    from sortmerna_tpu import native
+    if not native.have_native():
+        pytest.skip("no native library")
+    from sortmerna_tpu.engine import part_driver as pd
+    engaged = []
+    orig = pd.NativePartDriver.run
+
+    def spy(self, *a, **k):
+        engaged.append(True)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(pd.NativePartDriver, "run", spy)
+    opts = parse_args(
+        ["-ref", REF, "-reads", READS, "-fastx", "-blast", "1 cigar",
+         "-L", "14", "-workdir", str(tmp_path)])
+    ctx = run_all(opts)
+    assert engaged, "NativePartDriver did not run at -L 14"
+    assert sum(1 for s in ctx.states if s.is_hit) == 1
+
+
+@pytest.mark.parametrize("L", [14, 22])
 def test_device_prober_matches_numpy(L):
     built = build_index(REF, seed_win_len=L)
     part = built.parts[0]
