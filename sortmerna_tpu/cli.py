@@ -307,6 +307,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                           opts.max_pos, opts.max_file_size)
         print("Only performed indexing as 'index' = 1 was specified")
         return 0
+    if int(os.environ.get("SMR_NPROCS", "0") or 0) > 1:
+        # multi-host launch: one process per host with SMR_COORD /
+        # SMR_NPROCS / SMR_PROC_ID set (parallel/dist.run_all_multihost)
+        from .parallel.dist import run_all_multihost
+        run_all_multihost(opts)
+        return 0
     from .engine.run import run_all
     run_all(opts)
     return 0

@@ -42,12 +42,18 @@ def _build() -> Optional[ctypes.CDLL]:
     if (not so.exists()
             or any(so.stat().st_mtime < s.stat().st_mtime
                    for s in srcs + hdrs)):
+        # build to a temp name + atomic rename: a concurrent process
+        # with the old .so mapped keeps its (old-inode) mapping intact
+        # instead of having its text pages rewritten under it
+        tmp = so.with_suffix(".so.%d" % os.getpid())
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-pthread", "-o", str(so)] + [str(s) for s in srcs],
+                 "-pthread", "-o", str(tmp)] + [str(s) for s in srcs],
                 check=True, capture_output=True)
+            os.replace(tmp, so)
         except Exception:
+            tmp.unlink(missing_ok=True)
             return None
     try:
         lib = ctypes.CDLL(str(so))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List
 
 import jax
@@ -193,9 +194,10 @@ def run_align_multihost(ctx, sw_backend=None) -> slice:
     analogue of the per-thread byte-range slots, readfeed.cpp:1104-1282),
     then Readstats counters allreduce over every chip of every host.
 
-    The returned slice is this host's read range; per-host reports are
-    written for that range and concatenate deterministically in host
-    order (report.cpp:56-96 merge semantics).  With one process this
+    The returned slice is this host's read range.  This is the align
+    step only; ``run_all_multihost`` is the full pipeline (it writes the
+    per-host report sections for the range and merges them in host
+    order, report.cpp:56-96 semantics).  With one process this
     degenerates to the plain single-host align.
     """
     from ..engine.run import run_align
@@ -212,6 +214,139 @@ def run_align_multihost(ctx, sw_backend=None) -> slice:
 
     psum_readstats_multihost(rs, ctx.readstats)
     return mine
+
+
+def _barrier() -> None:
+    """Cross-process sync point: a tiny psum over every device (gloo/ICI
+    collectives block until all processes arrive)."""
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    rows = np.ones((jax.local_device_count(), 1), np.int32)
+    sh = NamedSharding(mesh, P("dp"))
+    arr = jax.make_array_from_process_local_data(
+        sh, rows, (mesh.devices.size, 1))
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("dp"),
+                       out_specs=P(), check_vma=False)
+    def reduce(r):
+        return jax.lax.psum(jnp.sum(r, axis=0), "dp")
+
+    np.asarray(reduce(arr))
+
+
+def _merge_sections(final_pfx: str, n_hosts: int) -> None:
+    """Concatenate per-host report sections ``<pfx>.s{i}<suffix>`` into
+    ``<pfx><suffix>`` in host order -- the split-file merge of
+    report.cpp:56-96 (each split covers one host's contiguous read
+    range; appending raw bytes in order reproduces the global read
+    order).  SAM headers are kept from section 0 only; gzip sections
+    concatenate into a valid multi-member stream (as the reference's
+    byte-append does).  Section files are removed after the merge."""
+    import glob as _glob
+    s0 = final_pfx + ".s0"
+    for path0 in sorted(_glob.glob(_glob.escape(s0) + "*")):
+        suffix = path0[len(s0):]
+        if suffix.endswith(".otu.json"):
+            continue
+        out_path = final_pfx + suffix
+        sam = suffix.split(".gz")[0].endswith(".sam")
+        with open(out_path, "wb") as out:
+            for i in range(n_hosts):
+                sec = f"{final_pfx}.s{i}{suffix}"
+                if not os.path.exists(sec):
+                    continue
+                with open(sec, "rb") as f:
+                    data = f.read()
+                if sam and i > 0:
+                    data = b"".join(
+                        ln for ln in data.splitlines(keepends=True)
+                        if not ln.startswith(b"@"))
+                out.write(data)
+                os.remove(sec)
+
+
+def _merge_otu_sections(final_pfx: str, n_hosts: int) -> dict:
+    """Key-wise merge of per-host OTU maps in host order: a reference
+    group keeps the position of its first-seen host and later hosts'
+    reads append to it -- the single-process insertion order
+    (otumap.cpp:192-281) for contiguous read shards."""
+    import json as _json
+    merged: dict = {}
+    for i in range(n_hosts):
+        sec = f"{final_pfx}.s{i}.otu.json"
+        if not os.path.exists(sec):
+            continue
+        with open(sec) as f:
+            for ref, read_ids in _json.load(f):
+                merged.setdefault(ref, []).extend(read_ids)
+        os.remove(sec)
+    return merged
+
+
+def run_all_multihost(opts, sw_backend=None):
+    """Full multi-host run: each process aligns + postprocesses its own
+    contiguous pair-aligned read shard, writes its reports as section
+    files, counters allreduce over every process's devices, and process
+    0 merges the sections into the final reports + writes the summary --
+    byte-identical to a single-process run over the same reads.
+
+    Trigger from the CLI: SMR_COORD/SMR_NPROCS/SMR_PROC_ID in the env
+    (cli.py main).  Each process needs its own workdir (kvdb/readb are
+    per-process) but a SHARED -aligned/-other prefix on a common
+    filesystem for the sections to merge.
+    """
+    from ..engine.run import (prepare, run_align, run_postprocess,
+                              run_reports)
+    from ..engine.postprocess import write_otu_map
+    from ..reports.summary import write_summary
+
+    pidx, pcount = init_multihost()
+    if pcount <= 1:
+        from ..engine.run import run_all
+        return run_all(opts, sw_backend=sw_backend)
+
+    ctx = prepare(opts)
+    slices = shard_reads(len(ctx.reads), pcount, opts.is_paired)
+    mine = slices[pidx]
+    local_rs = Readstats(len(opts.ref_files))
+    sub = dataclasses.replace(
+        ctx, reads=ctx.reads[mine],
+        states=ctx.states[mine.start:mine.stop], readstats=local_rs)
+    if len(sub.reads):
+        run_align(sub, sw_backend=sw_backend)
+    otu_map = run_postprocess(sub)      # shard denovo/otu counters
+
+    # one allreduce covers align AND postprocess counters
+    psum_readstats_multihost(local_rs, ctx.readstats)
+
+    # per-host report sections over this host's slice
+    import copy as _copy
+    import json as _json
+    sopts = _copy.copy(opts)
+    sopts.aligned_pfx = opts.aligned_pfx + f".s{pidx}"
+    if opts.is_other:
+        sopts.other_pfx = opts.other_pfx + f".s{pidx}"
+    rsub = dataclasses.replace(sub, opts=sopts, readstats=ctx.readstats)
+    out_dir = os.path.dirname(opts.aligned_pfx) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    run_reports(rsub, otu_map)
+    if opts.is_otu_map:
+        with open(opts.aligned_pfx + f".s{pidx}.otu.json", "w") as f:
+            _json.dump(list(otu_map.items()), f)
+
+    _barrier()                          # every section is on disk
+    if pidx == 0:
+        _merge_sections(opts.aligned_pfx, pcount)
+        if opts.is_other:
+            _merge_sections(opts.other_pfx, pcount)
+        merged_otu = _merge_otu_sections(opts.aligned_pfx, pcount)
+        if opts.is_otu_map:
+            ctx.readstats.total_otu = len(merged_otu)
+            write_otu_map(merged_otu,
+                          os.path.join(out_dir, "otu_map.txt"))
+        write_summary(opts, ctx.refstats, ctx.readstats,
+                      len(merged_otu))
+    _barrier()                          # merge visible everywhere
+    return ctx
 
 
 def psum_readstats_multihost(local: Readstats, out: Readstats) -> None:

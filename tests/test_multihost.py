@@ -20,6 +20,78 @@ REF = "/root/reference/data/ref_GQ099317_forward_and_rc.fasta"
 READS = "/root/reference/data/illumina_GQ099317.fasta"
 
 
+def _filter_log(text: str) -> str:
+    """Drop run-specific summary lines (cmdline, pid, timestamp)."""
+    out = []
+    for ln in text.splitlines(True):
+        if ln.startswith("    sortmerna") or "Process pid" in ln:
+            continue
+        if ln.startswith(" ") and ln.strip().count(":") == 2 \
+                and ln.strip()[-4:].isdigit():
+            continue       # ' Mon Jan  1 12:00:00 2026' timestamp line
+        out.append(ln)
+    return "".join(out)
+
+
+def test_multihost_cli_reports(tmp_path):
+    """The CLI under SMR_COORD/SMR_NPROCS/SMR_PROC_ID writes per-host
+    report sections and process 0 merges them -- the merged
+    aligned.blast / aligned.fa / otu_map.txt / aligned.log must be
+    byte-identical to a single-process run (report.cpp:56-96)."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    args = ["-ref", REF, "-reads", READS, "-fastx",
+            "-blast", "1 cigar qcov qstrand", "-sam", "-otu_map",
+            "-de_novo_otu", "-num_alignments", "2"]
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["SMR_COORD"] = "localhost:19754"
+    env["SMR_NPROCS"] = "2"
+    procs = []
+    for pid in range(2):
+        e = dict(env, SMR_PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "sortmerna_tpu.cli", *args,
+             "-workdir", str(tmp_path / f"wd{pid}"),
+             "-aligned", str(shared / "aligned")],
+            env=e, cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+
+    # single-process baseline through the same CLI surface
+    base = subprocess.run(
+        [sys.executable, "-m", "sortmerna_tpu.cli", *args,
+         "-workdir", str(tmp_path / "wd_base"),
+         "-aligned", str(tmp_path / "base_aligned")],
+        env={**env, "SMR_NPROCS": "0"}, cwd=str(REPO),
+        capture_output=True, text=True, timeout=600)
+    assert base.returncode == 0, base.stderr[-3000:]
+
+    for suffix in (".blast", ".fa"):
+        merged = (shared / ("aligned" + suffix)).read_bytes()
+        want = (tmp_path / ("base_aligned" + suffix)).read_bytes()
+        assert merged == want, f"aligned{suffix} differs after merge"
+    # no stray section files survive the merge
+    assert not [p for pid in range(2)
+                for p in shared.glob(f"aligned.s{pid}*")]
+    # otu map: merged groups == baseline groups
+    assert (shared / "otu_map.txt").read_bytes() == \
+        (tmp_path / "otu_map.txt").read_bytes()
+    # sam: identical modulo the @PG line
+    def sam_body(p):
+        return [ln for ln in p.read_text().splitlines()
+                if not ln.startswith("@PG")]
+    assert sam_body(shared / "aligned.sam") == \
+        sam_body(tmp_path / "base_aligned.sam")
+    # log: global counters identical modulo cmdline/pid/timestamp
+    assert _filter_log((shared / "aligned.log").read_text()) == \
+        _filter_log((tmp_path / "base_aligned.log").read_text())
+
+
 def test_two_process_multihost(tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""

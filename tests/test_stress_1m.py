@@ -18,6 +18,7 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(os.environ.get("SMR_STRESS_1M") != "1",
                     reason="opt-in stress run (SMR_STRESS_1M=1)")
 def test_1m_partition_invariance():

@@ -2,9 +2,12 @@
 
 The read partition (which reads align) must not depend on execution
 geometry: batch size (unit boundaries + journal checkpoints), host
-thread count, or read-shard layout.  100K set2 reads vs
-silva-arc-16s-id95 on the CPU backend.
+thread count, or read-shard layout.  set2 reads vs silva-arc-16s-id95
+on the CPU backend.  The default suite runs a 30K-read subset (shard
+invariance bites well below 100K); ``-m slow`` runs the full 100K file.
 """
+
+import itertools
 
 import numpy as np
 import pytest
@@ -22,8 +25,18 @@ def idx_cache(tmp_path_factory):
     return str(tmp_path_factory.mktemp("idx"))
 
 
-def _run(idx_cache, batch_size=100000, threads=1, shards=None):
-    opts = RunOptions(ref_files=[DB], reads_files=[SET2],
+@pytest.fixture(scope="module")
+def set2_30k(tmp_path_factory):
+    from sortmerna_tpu.io.fastx import format_record, iter_fastx
+    p = tmp_path_factory.mktemp("reads") / "set2_30k.fasta"
+    with open(p, "w") as f:
+        for rec in itertools.islice(iter_fastx(SET2), 30000):
+            f.write(format_record(rec))
+    return str(p)
+
+
+def _run(idx_cache, reads, batch_size=100000, threads=1, shards=None):
+    opts = RunOptions(ref_files=[DB], reads_files=[reads],
                       idx_dir=idx_cache, num_proc_thread=threads)
     ctx = prepare(opts)
     if shards:
@@ -41,24 +54,33 @@ def _run(idx_cache, batch_size=100000, threads=1, shards=None):
     return hits, n_aln, ctx.readstats
 
 
-def test_partition_invariance_100k(idx_cache):
-    base_hits, base_aln, base_rs = _run(idx_cache)
-    assert base_hits.sum() > 10000, "degenerate workload"
+def _check_invariance(idx_cache, reads, min_hits):
+    base_hits, base_aln, base_rs = _run(idx_cache, reads)
+    assert base_hits.sum() > min_hits, "degenerate workload"
 
     # odd batch size -> different unit boundaries
-    h2, a2, _ = _run(idx_cache, batch_size=7777)
+    h2, a2, _ = _run(idx_cache, reads, batch_size=7777)
     np.testing.assert_array_equal(base_hits, h2)
     assert a2 == base_aln
 
     # host threads
-    h3, a3, rs3 = _run(idx_cache, threads=4)
+    h3, a3, rs3 = _run(idx_cache, reads, threads=4)
     np.testing.assert_array_equal(base_hits, h3)
     assert a3 == base_aln
     assert rs3.num_aligned == base_rs.num_aligned
 
     # read shards over a 4-device mesh with psum'd stats
-    h4, a4, rs4 = _run(idx_cache, shards=4)
+    h4, a4, rs4 = _run(idx_cache, reads, shards=4)
     np.testing.assert_array_equal(base_hits, h4)
     assert a4 == base_aln
     assert rs4.num_aligned == base_rs.num_aligned
     assert rs4.reads_matched_per_db == base_rs.reads_matched_per_db
+
+
+def test_partition_invariance_30k(idx_cache, set2_30k):
+    _check_invariance(idx_cache, set2_30k, min_hits=3000)
+
+
+@pytest.mark.slow
+def test_partition_invariance_100k(idx_cache):
+    _check_invariance(idx_cache, SET2, min_hits=10000)
