@@ -351,13 +351,27 @@ def write_reference_index(fasta_path: str, prefix: str,
         core["kmer_counts"].astype(np.uint32).tofile(
             f"{prefix}.kmer_{pn}.dat")
 
-        # per-id positions in ORIGINAL scan order (ids are our ranks)
+        # The reference's ids are CMPH CHM values over a keys file that
+        # appends each unique 18-mer at FIRST OCCURRENCE during the
+        # reference scan (indexdb.cpp:1504, get_keys_file) -- CHM is
+        # order-preserving, so id == first-occurrence rank.  Reproduce
+        # that id space (byte parity with the real binary's artifacts,
+        # verified against a refindexer-produced fixture in
+        # tests/golden/refidx).
         n_ids = len(core["kmers18"])
+        po = core["pos_offsets"]
+        first_seq = core["pos_seq"][po[:-1]]
+        first_pos = core["pos_pos"][po[:-1]]
+        scan2rank = np.lexsort((first_pos, first_seq))  # refid -> rank
+        refid_of_rank = np.empty(n_ids, np.int64)
+        refid_of_rank[scan2rank] = np.arange(n_ids)
+
+        # per-refid positions (each list stays in scan order)
         with open(f"{prefix}.pos_{pn}.dat", "wb") as f:
             f.write(struct.pack("<I", n_ids))
-            po = core["pos_offsets"]
             for i in range(n_ids):
-                lo, hi = int(po[i]), int(po[i + 1])
+                rank = int(scan2rank[i])
+                lo, hi = int(po[rank]), int(po[rank + 1])
                 f.write(struct.pack("<I", hi - lo))
                 pair = np.empty((hi - lo, 2), np.uint32)
                 pair[:, 0] = core["pos_pos"][lo:hi]
@@ -365,30 +379,35 @@ def write_reference_index(fasta_path: str, prefix: str,
                 f.write(pair.tobytes())
 
         uk19 = core["uk19"]
-        uids = core["uk19_ids"].astype(np.uint32)
+        uids = refid_of_rank[core["uk19_ids"].astype(np.int64)].astype(
+            np.uint32)
         keyf = (uk19 >> np.uint64(20)).astype(np.int64)
         keyr = (uk19 & np.uint64((1 << 18) - 1)).astype(np.int64)
-        # group indices per key: F in any order (uk19 ascending), R in
-        # first-occurrence (insertion) order within each key
-        orderF = np.arange(len(uk19))           # uk19 sorted => grouped
-        fb = np.searchsorted(keyf, np.arange(_HALF + 1))
+        # group indices per key; BOTH trie sides insert at the 19-mer's
+        # first scan occurrence, so bucket entry order is scan order
+        # within each key (it also carries the R-side 0-error
+        # representative semantics, traverse_bursttrie.cpp:237-262)
         scan_order = np.argsort(core["uk19_first"], kind="stable")
+        orderF = scan_order[np.argsort(keyf[scan_order], kind="stable")]
+        fb = np.searchsorted(keyf[orderF], np.arange(_HALF + 1))
         orderR = scan_order[np.argsort(keyr[scan_order], kind="stable")]
         rb = np.searchsorted(keyr[orderR], np.arange(_HALF + 1))
         with open(f"{prefix}.bursttrie_{pn}.dat", "wb") as f:
             for key in range(_HALF):
                 selF = orderF[fb[key]:fb[key + 1]]
                 selR = orderR[rb[key]:rb[key + 1]]
-                body_f = _write_trie_payload(uk19[selF], uids[selF],
-                                             reverse=False) \
-                    if len(selF) else b""
-                body_r = _write_trie_payload(uk19[selR], uids[selR],
-                                             reverse=True) \
-                    if len(selR) else b""
-                f.write(struct.pack("<II", _trie_size(body_f),
-                                    _trie_size(body_r)))
-                f.write(body_f)
-                f.write(body_r)
+                root_f = _build_root(uk19[selF], uids[selF],
+                                     reverse=False) \
+                    if len(selF) else None
+                root_r = _build_root(uk19[selR], uids[selR],
+                                     reverse=True) \
+                    if len(selR) else None
+                f.write(struct.pack("<II", _trie_size(root_f),
+                                    _trie_size(root_r)))
+                if root_f is not None:
+                    f.write(_serialize_trie(root_f))
+                if root_r is not None:
+                    f.write(_serialize_trie(root_r))
 
         part = finish_part(core)
         part.start_part = spans[group[0]][0]
@@ -399,8 +418,27 @@ def write_reference_index(fasta_path: str, prefix: str,
     write_stats(prefix + ".stats", stats, parts_meta)
 
 
-def _trie_size(payload: bytes) -> int:
-    return (64 + len(payload)) if payload else 0
+def _trie_size(root: list) -> int:
+    """The reference's size field: 4*sizeof(NodeElement)=64 bytes per
+    trie NODE plus the raw bucket payload bytes (indexdb.cpp:740 --
+    per-bucket u32 length fields and flag bytes are NOT counted; the
+    field sizes the in-memory trie, not the stream)."""
+    if root is None:
+        return 0
+    n_nodes, bucket_bytes = _trie_stats(root)
+    return 64 * n_nodes + bucket_bytes
+
+
+def _trie_stats(node: list) -> Tuple[int, int]:
+    n_nodes, bucket_bytes = 1, 0
+    for el in node:
+        if el[0] == 1:
+            n, b = _trie_stats(el[1])
+            n_nodes += n
+            bucket_bytes += b
+        elif el[0] == 2:
+            bucket_bytes += 8 * len(el[1])
+    return n_nodes, bucket_bytes
 
 
 # bucket burst parameters (indexdb.hpp:57-60, insert_prefix burst rule:
@@ -409,29 +447,50 @@ _THRESHOLD = 128
 _MAX_BURST_DEPTH = 19 - _PW - 3
 
 
-def _build_trie(rem: np.ndarray, ids: np.ndarray, width: int,
-                depth: int) -> list:
-    """In-memory trie node: 4 elements, each (0,) empty,
-    (1, child_node) or (2, bucket_bytes).  ``rem`` holds the remaining
-    chars MSB-first in ``width`` 2-bit slots; entry order preserved."""
-    top = (rem >> np.uint32(2 * (width - 1))) & np.uint32(3)
-    node = []
-    for c in range(4):
-        sel = np.flatnonzero(top == c)
-        if not len(sel):
-            node.append((0,))
-            continue
-        sub = rem[sel] & np.uint32((1 << (2 * (width - 1))) - 1)
-        if len(sel) * 8 > _THRESHOLD and depth < _MAX_BURST_DEPTH:
-            node.append((1, _build_trie(sub, ids[sel], width - 1,
-                                        depth + 1)))
-        else:
-            enc = _pack_entry_tails(sub, depth)
-            ent = np.empty((len(sel), 2), np.uint32)
-            ent[:, 0] = enc
-            ent[:, 1] = ids[sel]
-            node.append((2, ent.tobytes()))
-    return node
+def _build_trie(tails0: np.ndarray, top: np.ndarray,
+                ids: np.ndarray) -> list:
+    """Faithful replay of the reference's incremental insert_prefix
+    (indexdb.cpp:147-310): entries insert one at a time in scan order;
+    a bucket whose size exceeds THRESHOLD *on an insert* (and depth <
+    pread-partialwin-3) bursts into four children, and the
+    redistribution does NOT re-check the threshold -- so a child handed
+    >16 entries at burst time legitimately stays a fat bucket until a
+    later insert lands on it.  (A top-down "burst iff count > 16" build
+    produces a different -- deeper -- shape; byte parity with the real
+    binary's artifacts requires the replay.)
+
+    Node: list of 4 elements; element = [flag, payload] with payload a
+    list of (tail_lsb_first, id) for flag 2 or a child node for flag 1.
+    """
+    root = [[0, None] for _ in range(4)]
+    max_d = _MAX_BURST_DEPTH
+    for t, c, i in zip(tails0.tolist(), top.tolist(), ids.tolist()):
+        node = root
+        depth = 1
+        while True:
+            el = node[c]
+            if el[0] == 1:
+                node = el[1]
+                c = t & 3
+                t >>= 2
+                depth += 1
+                continue
+            break
+        if el[0] == 0:
+            el[0] = 2
+            el[1] = []
+        el[1].append((t, i))
+        if depth < max_d and len(el[1]) * 8 > _THRESHOLD:
+            child = [[0, None] for _ in range(4)]
+            for t2, i2 in el[1]:
+                cel = child[t2 & 3]
+                if cel[0] == 0:
+                    cel[0] = 2
+                    cel[1] = []
+                cel[1].append((t2 >> 2, i2))
+            el[0] = 1
+            el[1] = child
+    return root
 
 
 def _serialize_trie(root: list) -> bytes:
@@ -448,15 +507,16 @@ def _serialize_trie(root: list) -> bytes:
                 out.append(bytes(c[0] for c in el[1]))
                 queue.append(el[1])
             elif el[0] == 2:
-                out.append(struct.pack("<I", len(el[1])))
-                out.append(el[1])
+                ent = np.asarray(el[1], np.uint32)
+                out.append(struct.pack("<I", ent.nbytes))
+                out.append(ent.tobytes())
     return b"".join(out)
 
 
-def _write_trie_payload(entries19: np.ndarray, ids: np.ndarray,
-                        reverse: bool) -> bytes:
-    """Serialized mini-burst trie body; entry order preserved (it
-    carries the 0-error representative semantics)."""
+def _build_root(entries19: np.ndarray, ids: np.ndarray,
+                reverse: bool) -> list:
+    """In-memory mini-burst trie for one key; entry (insertion) order
+    preserved (it carries the 0-error representative semantics)."""
     if reverse:
         suf = np.zeros(len(entries19), np.uint32)
         for k in range(10):
@@ -465,5 +525,6 @@ def _write_trie_payload(entries19: np.ndarray, ids: np.ndarray,
                 & np.uint64(3)).astype(np.uint32)
     else:
         suf = (entries19 & np.uint64((1 << 20) - 1)).astype(np.uint32)
-    return _serialize_trie(
-        _build_trie(suf, ids.astype(np.uint32), _PW + 1, 1))
+    top = (suf >> np.uint32(2 * _PW)) & np.uint32(3)   # first suffix char
+    tails0 = _pack_entry_tails(suf & np.uint32((1 << (2 * _PW)) - 1), 1)
+    return _build_trie(tails0, top, ids.astype(np.uint32))
