@@ -24,14 +24,30 @@ from .. import native
 from .candidates import Opts, PartContext, Readstats
 from .read import Alignment, ReadState
 
-def _span_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Index array concatenating [s, s+len) spans."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    return (np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens)
-            + np.repeat(np.asarray(starts, np.int64), lens))
+class WinStore:
+    """One part-export's traceback windows, held in place.
+
+    ``Alignment.tb`` for engine-produced alignments is a
+    ``(store, action_index)`` handle into these buffers -- no
+    per-alignment window views are created at export and no bytes are
+    copied to assemble the batched traceback (run.materialize_cigars
+    computes pointer arrays into rbuf/qsrc vectorized)."""
+
+    __slots__ = ("rbuf", "qsrc", "r_out", "q_out", "bands")
+
+    def __init__(self, rbuf, qsrc, r_out, q_out, bands):
+        self.rbuf = rbuf
+        self.qsrc = qsrc
+        self.r_out = r_out
+        self.q_out = q_out
+        self.bands = bands
+
+    def window(self, i: int):
+        """(ref_window, query_window, band) views for one action --
+        the numpy fallback path of materialize_cigars."""
+        return (self.rbuf[self.r_out[i]:self.r_out[i + 1]],
+                self.qsrc[self.q_out[i]:self.q_out[i + 1]],
+                int(self.bands[i]))
 
 
 def _part_probe_bufs(part):
@@ -238,6 +254,7 @@ class NativePartDriver:
     # ------------------------------------------------------------------
     def _export(self, states: List[ReadState],
                 readstats: Readstats) -> None:
+        from ..util import timed
         lib = self.lib
         n = self.n
         out = np.zeros((n, 8), np.int32)
@@ -248,16 +265,17 @@ class NativePartDriver:
             managed
             | (out[:, 5] != self._hit_seeds_in)
             | (out[:, 6] != self._is_done_in.astype(np.int32)))
-        rows = out[dirty].tolist()
-        for i, row in zip(dirty.tolist(), rows):
-            st = states[i]
-            st.best = row[0]
-            st.max_sw_count = row[1]
-            st.is_hit = bool(row[2])
-            st.min_index = row[3]
-            st.max_index = row[4]
-            st.hit_seeds = row[5]
-            st.is_done = bool(row[6])
+        with timed("exp_state"):
+            rows = out[dirty].tolist()
+            for i, row in zip(dirty.tolist(), rows):
+                st = states[i]
+                st.best = row[0]
+                st.max_sw_count = row[1]
+                st.is_hit = bool(row[2])
+                st.min_index = row[3]
+                st.max_index = row[4]
+                st.hit_seeds = row[5]
+                st.is_done = bool(row[6])
         idx_num, part_num = self.ctx.index_num, self.ctx.part_num
         # last_index/last_part mirror the reference's KVDB blob
         # bookkeeping (read.cpp:429-462); nothing reads them back in
@@ -282,43 +300,62 @@ class NativePartDriver:
             lib.cand_export_actions(self.heng, fields.ctypes.data,
                                     woffs.ctypes.data)
             reads_off = self.reads_off
-            rl = fields[:, 10].astype(np.int64)
-            ql = fields[:, 11].astype(np.int64)
-            r_out = np.zeros(n_act + 1, np.int64)
-            q_out = np.zeros(n_act + 1, np.int64)
-            np.cumsum(rl, out=r_out[1:])
-            np.cumsum(ql, out=q_out[1:])
-            rbuf = self.refs_data[_span_gather(woffs[:, 0], rl)]
-            fwd_mask = fields[:, 13].astype(bool)
-            qidx = _span_gather(woffs[:, 1], ql)
-            qsrc = np.where(np.repeat(fwd_mask, ql),
-                            self.f04[qidx], self.r04[qidx])
-            frows = fields.tolist()
-            for i in range(n_act):
-                f = frows[i]
-                ord_ = f[0]
-                st = states[ord_]
-                aln = Alignment(
-                    index_num=idx_num,
-                    part=part_num,
-                    ref_num=f[4],
-                    read_begin1=f[8],
-                    read_end1=f[9],
-                    ref_begin1=f[6],
-                    ref_end1=f[7],
-                    readlen=int(reads_off[ord_ + 1] - reads_off[ord_]),
-                    score1=f[5],
-                    strand=bool(f[13]),
-                    cigar=None,
-                    tb=(rbuf[r_out[i]:r_out[i + 1]],
-                        qsrc[q_out[i]:q_out[i + 1]],
-                        f[12]),
-                )
-                if f[1] == 0:
-                    st.alignments.append(aln)
-                else:
-                    st.alignments[f[2]] = aln
-                st.is_new_hit = True
+            with timed("exp_gather"):
+                rl = fields[:, 10].astype(np.int64)
+                ql = fields[:, 11].astype(np.int64)
+                r_out = np.zeros(n_act + 1, np.int64)
+                q_out = np.zeros(n_act + 1, np.int64)
+                np.cumsum(rl, out=r_out[1:])
+                np.cumsum(ql, out=q_out[1:])
+                # one C++ pass (memcpy per span) instead of two
+                # full-buffer numpy fancy-gathers + a strand select
+                rbuf = np.empty(int(r_out[-1]), np.uint8)
+                qsrc = np.empty(int(q_out[-1]), np.uint8)
+                rlen32 = np.ascontiguousarray(fields[:, 10], np.int32)
+                qlen32 = np.ascontiguousarray(fields[:, 11], np.int32)
+                roff = np.ascontiguousarray(woffs[:, 0], np.int64)
+                qoff = np.ascontiguousarray(woffs[:, 1], np.int64)
+                fwd8 = np.ascontiguousarray(fields[:, 13], np.uint8)
+                lib.gather_action_windows(
+                    self.refs_data.ctypes.data, roff.ctypes.data,
+                    rlen32.ctypes.data,
+                    self.f04.ctypes.data, self.r04.ctypes.data,
+                    qoff.ctypes.data, qlen32.ctypes.data,
+                    fwd8.ctypes.data, n_act,
+                    r_out.ctypes.data, q_out.ctypes.data,
+                    rbuf.ctypes.data, qsrc.ctypes.data)
+                del roff, qoff, rlen32, qlen32, fwd8
+            with timed("exp_actions"):
+                # positional slots construction over pre-extracted
+                # columns: ~2x over a kwargs dataclass call per action.
+                # tb is a (store, i) handle -- no window views here.
+                store = WinStore(rbuf, qsrc, r_out, q_out,
+                                 np.ascontiguousarray(fields[:, 12],
+                                                      np.int32))
+                readlens = (np.diff(reads_off)[fields[:, 0]]
+                            .astype(np.int32).tolist())
+                ords = fields[:, 0].tolist()
+                kinds = fields[:, 1].tolist()
+                slots_ = fields[:, 2].tolist()
+                refn = fields[:, 4].tolist()
+                sc = fields[:, 5].tolist()
+                rb1 = fields[:, 6].tolist()
+                re1 = fields[:, 7].tolist()
+                qb1 = fields[:, 8].tolist()
+                qe1 = fields[:, 9].tolist()
+                fwds = fields[:, 13].astype(bool).tolist()
+                A = Alignment
+                for i in range(n_act):
+                    ord_ = ords[i]
+                    st = states[ord_]
+                    aln = A(idx_num, part_num, refn[i], qb1[i], qe1[i],
+                            rb1[i], re1[i], readlens[i], sc[i], fwds[i],
+                            None, (store, i))
+                    if kinds[i] == 0:
+                        st.alignments.append(aln)
+                    else:
+                        st.alignments[slots_[i]] = aln
+                    st.is_new_hit = True
             lib.cand_clear_actions(self.heng)
 
         readstats.num_aligned += int(lib.cand_stat_num_aligned(self.heng))

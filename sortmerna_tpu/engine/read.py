@@ -23,9 +23,13 @@ import numpy as np
 from ..constants import COMPLEMENT4, NT_TABLE
 
 
-@dataclass
+@dataclass(slots=True)
 class Alignment:
-    """One accepted alignment (s_align2, ssw.hpp:44-55)."""
+    """One accepted alignment (s_align2, ssw.hpp:44-55).
+
+    slots=True: the align export path constructs one of these per
+    accepted alignment (100K+ per large batch); slots cut both the
+    per-object memory and the construction/attribute cost."""
     index_num: int
     part: int
     ref_num: int          # ordinal within the part's references buffer

@@ -206,8 +206,11 @@ def materialize_cigars(ctx: RunContext) -> None:
 
     The native engine defers CIGAR generation (replace-min churn of
     best-N bookkeeping, alignment.cpp:420-459, makes eager tracebacks
-    ~3x the surviving count); each pending alignment carries its clipped
-    (ref window, read window, band) in Alignment.tb."""
+    ~3x the surviving count).  A pending alignment's ``tb`` is either a
+    ``(WinStore, action_index)`` handle into a part-export's window
+    buffers (the fast path: pointer arrays into those buffers are
+    computed vectorized, zero window bytes copied) or a legacy
+    ``(ref_window, read_window, band)`` view triple."""
     pend = [a for st in ctx.states for a in st.alignments
             if a.cigar is None and a.tb is not None]
     if not pend:
@@ -217,19 +220,60 @@ def materialize_cigars(ctx: RunContext) -> None:
                              opts.score_n).astype(np.int64)
     from .. import native
     from ..ops import sw_ref
+    handles = [a for a in pend if len(a.tb) == 2]
+    legacy = [a for a in pend if len(a.tb) == 3]
     if native.have_native():
-        cigs = native.traceback_batch(
-            [a.tb[0] for a in pend], [a.tb[1] for a in pend],
-            [a.score1 for a in pend], [a.tb[2] for a in pend],
-            opts.gap_open, opts.gap_ext, mat)
+        if handles:
+            groups: dict = {}
+            for a in handles:
+                store, i = a.tb
+                g = groups.get(id(store))
+                if g is None:
+                    g = groups[id(store)] = (store, [], [])
+                g[1].append(i)
+                g[2].append(a)
+            rp_l, rl_l, qp_l, ql_l, sc_l, bd_l, alns = \
+                [], [], [], [], [], [], []
+            for store, idxs, aa in groups.values():
+                idx = np.asarray(idxs, np.int64)
+                r_lo = store.r_out[idx]
+                q_lo = store.q_out[idx]
+                rp_l.append(store.rbuf.ctypes.data
+                            + r_lo.astype(np.uint64))
+                rl_l.append((store.r_out[idx + 1] - r_lo)
+                            .astype(np.int32))
+                qp_l.append(store.qsrc.ctypes.data
+                            + q_lo.astype(np.uint64))
+                ql_l.append((store.q_out[idx + 1] - q_lo)
+                            .astype(np.int32))
+                bd_l.append(store.bands[idx])
+                sc_l.append(np.fromiter((a.score1 for a in aa),
+                                        np.int32, count=len(aa)))
+                alns.extend(aa)
+            cigs = native.traceback_ptrs(
+                np.concatenate(rp_l), np.concatenate(rl_l),
+                np.concatenate(qp_l), np.concatenate(ql_l),
+                np.concatenate(sc_l), np.concatenate(bd_l),
+                opts.gap_open, opts.gap_ext, mat)
+            for a, cg in zip(alns, cigs):
+                a.cigar = cg
+                a.tb = None
+        if legacy:
+            cigs = native.traceback_batch(
+                [a.tb[0] for a in legacy], [a.tb[1] for a in legacy],
+                [a.score1 for a in legacy], [a.tb[2] for a in legacy],
+                opts.gap_open, opts.gap_ext, mat)
+            for a, cg in zip(legacy, cigs):
+                a.cigar = cg
+                a.tb = None
     else:
-        cigs = [sw_ref.banded_sw_traceback(
-                    a.tb[0].astype(np.int64), a.tb[1].astype(np.int64),
-                    a.score1, opts.gap_open, opts.gap_ext, a.tb[2], mat)
-                for a in pend]
-    for a, cg in zip(pend, cigs):
-        a.cigar = cg if isinstance(cg, np.ndarray) else list(cg)
-        a.tb = None
+        for a in pend:
+            rw, qw, band = a.tb if len(a.tb) == 3 else \
+                a.tb[0].window(a.tb[1])
+            a.cigar = list(sw_ref.banded_sw_traceback(
+                rw.astype(np.int64), qw.astype(np.int64),
+                a.score1, opts.gap_open, opts.gap_ext, band, mat))
+            a.tb = None
 
 
 def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):

@@ -65,6 +65,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p]
+    lib.banded_traceback_ptrs.restype = ctypes.c_int
+    lib.banded_traceback_ptrs.argtypes = \
+        [ctypes.c_void_p] * 6 + [ctypes.c_int] * 3 + \
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.cand_create.restype = ctypes.c_void_p
     lib.cand_create.argtypes = [ctypes.c_void_p] * 9 + \
         [ctypes.c_int] * 7 + [ctypes.c_long] + [ctypes.c_int] * 5 + \
@@ -140,6 +144,8 @@ def _build() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p]                     # sel
         + [ctypes.c_int64] * 4                  # n_sel, B, lq, lr
         + [ctypes.c_void_p])                    # buf
+    lib.gather_action_windows.argtypes = \
+        [ctypes.c_void_p] * 8 + [ctypes.c_int64] + [ctypes.c_void_p] * 4
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx
@@ -226,6 +232,60 @@ def traceback_batch(refs: List[np.ndarray], queries: List[np.ndarray],
     # packed-cigar rows as array views (consumers only iterate); avoiding
     # 100K+ tolist() conversions keeps the batched traceback C-bound
     return [out[i, :out_len[i]] for i in range(n)]
+
+
+def traceback_ptrs(ref_ptrs: np.ndarray, ref_lens: np.ndarray,
+                   q_ptrs: np.ndarray, q_lens: np.ndarray,
+                   scores: np.ndarray, bands: np.ndarray,
+                   gap_open: int, gap_ext: int,
+                   mat: np.ndarray) -> List[np.ndarray]:
+    """Batched banded traceback over in-place windows (uint64 pointer
+    arrays into the per-part export buffers): no window bytes are
+    copied to assemble the batch.  Bucketing by rl+ql mirrors
+    traceback_batch (one 30K-nt alignment must not inflate every row's
+    CIGAR capacity) but runs vectorized."""
+    lib = _build()
+    assert lib is not None
+    n = len(ref_lens)
+    result: List = [None] * n
+    if n == 0:
+        return result
+    mat8 = np.ascontiguousarray(mat, dtype=np.int8)
+    sizes = ref_lens.astype(np.int64) + q_lens + 8
+    mx = int(sizes.max())
+
+    def run(idx: np.ndarray, cap: int) -> None:
+        m = len(idx)
+        if m == 0:
+            return
+        rp = np.ascontiguousarray(ref_ptrs[idx], np.uint64)
+        rl = np.ascontiguousarray(ref_lens[idx], np.int32)
+        qp = np.ascontiguousarray(q_ptrs[idx], np.uint64)
+        ql = np.ascontiguousarray(q_lens[idx], np.int32)
+        sc = np.ascontiguousarray(scores[idx], np.int32)
+        bd = np.ascontiguousarray(bands[idx], np.int32)
+        out = np.zeros((m, cap), np.uint32)
+        out_len = np.zeros(m, np.int32)
+        bad = lib.banded_traceback_ptrs(
+            rp.ctypes.data, rl.ctypes.data, qp.ctypes.data,
+            ql.ctypes.data, sc.ctypes.data, bd.ctypes.data,
+            m, gap_open, gap_ext, mat8.ctypes.data,
+            out.ctypes.data, cap, out_len.ctypes.data)
+        if bad:
+            raise RuntimeError(
+                f"{bad} tracebacks failed (cigar overflow?)")
+        lens = out_len.tolist()
+        for j, i in enumerate(idx.tolist()):
+            result[i] = out[j, :lens[j]]
+
+    if mx > 1024 and n > 1:
+        lo = 0
+        for cap in (1024, 8192, mx):
+            run(np.flatnonzero((sizes > lo) & (sizes <= cap)), cap)
+            lo = cap
+    else:
+        run(np.arange(n), mx)
+    return result
 
 
 def gumbel_histogram(match, mismatch, gap_open, gap_ext, freqs,

@@ -289,4 +289,23 @@ void sw_fill_block(const uint8_t* q_data, int64_t q_data_len,
     }
 }
 
+// Gather accepted-action traceback windows in one pass: ref spans from
+// the part's refs concat, read spans from the f04/r04 strand buffer an
+// action aligned on.  Replaces two [total_bytes] numpy fancy-gathers
+// plus a strand select per part export (engine/part_driver._export).
+void gather_action_windows(
+    const uint8_t* refs_data, const int64_t* w_roff, const int32_t* r_len,
+    const uint8_t* f04, const uint8_t* r04,
+    const int64_t* w_qoff, const int32_t* q_len, const uint8_t* fwd,
+    int64_t n, const int64_t* r_out, const int64_t* q_out,
+    uint8_t* rbuf, uint8_t* qbuf) {
+    for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(rbuf + r_out[i], refs_data + w_roff[i],
+                    (size_t)r_len[i]);
+        const uint8_t* src = fwd[i] ? f04 : r04;
+        std::memcpy(qbuf + q_out[i], src + w_qoff[i],
+                    (size_t)q_len[i]);
+    }
+}
+
 }  // extern "C"

@@ -201,4 +201,43 @@ int banded_traceback_batch(
     return bad;
 }
 
+// Pointer-array variant: jobs reference windows in place (per-part
+// export buffers) instead of a packed concat -- the Python side then
+// never copies window bytes to assemble a batch.
+int banded_traceback_ptrs(
+    const uint64_t* ref_ptrs, const int32_t* ref_lens,
+    const uint64_t* q_ptrs, const int32_t* q_lens,
+    const int32_t* scores, const int32_t* bands,
+    int n, int gap_open, int gap_ext, const int8_t* mat,
+    uint32_t* cigar_out, int cigar_cap, int32_t* cigar_len) {
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 8) nt = 8;
+    if (n < 256) nt = 1;
+    std::vector<int> bads(nt, 0);
+    auto work = [&](int t) {
+        int lo = (int)((int64_t)n * t / nt);
+        int hi = (int)((int64_t)n * (t + 1) / nt);
+        for (int k = lo; k < hi; ++k) {
+            int r = traceback_one(
+                (const uint8_t*)ref_ptrs[k], ref_lens[k],
+                (const uint8_t*)q_ptrs[k], q_lens[k],
+                scores[k], gap_open, gap_ext, bands[k], mat,
+                cigar_out + (size_t)k * cigar_cap, cigar_cap);
+            cigar_len[k] = r;
+            if (r < 0) ++bads[t];
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; ++t) ths.emplace_back(work, t);
+        for (auto& th : ths) th.join();
+    }
+    int bad = 0;
+    for (int b : bads) bad += b;
+    return bad;
+}
+
 } // extern "C"
