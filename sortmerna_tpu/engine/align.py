@@ -468,15 +468,19 @@ OVERLAP_MIN_READS = 8192
 
 
 def _overlap_enabled() -> bool:
-    """Half-batch pipelining pays only when the host has cores to spare:
-    on a 2-core host the device link's transfer threads contend with the
-    probe/FSM threads and every host stage slows ~2x (measured), eating
-    the hidden-fetch win.  SMR_OVERLAP=1/0 overrides the heuristic."""
+    """Half-batch pipelining: one half's device waves hide behind the
+    other half's host stages.  Round 3 measured it NEGATIVE on the
+    2-core bench host (link transfer threads contended with probe/FSM
+    threads), but with the round-4 export/traceback work the host
+    stages are lean enough that it wins even there: 31.7-33.2K reads/s
+    vs 26.5-27.7K without (3 runs each, 100K reads, identical
+    n_aligned).  Default ON for any host with >=2 cores;
+    SMR_OVERLAP=1/0 overrides."""
     import os
     v = os.environ.get("SMR_OVERLAP")
     if v is not None:
         return v not in ("0", "", "false")
-    return (os.cpu_count() or 1) >= 4
+    return (os.cpu_count() or 1) >= 2
 
 
 def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
