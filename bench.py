@@ -40,8 +40,15 @@ READS = os.environ.get(
 N_READS = int(os.environ.get("BENCH_READS", "100000"))
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 HARD_EXIT_S = float(os.environ.get("BENCH_HARD_EXIT_S", "560"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "25000"))
-CHUNK0 = int(os.environ.get("BENCH_CHUNK0", "5000"))
+# 50K chunks: the overlap scheduler halves each chunk, so the halves
+# land on the measured 25K locality sweet spot while chunk-boundary
+# pipeline drains halve vs 25K chunks (40.2/40.0/38.7K reads/s over
+# three runs vs 31-33K at 25K chunks).  The small first chunk keeps an
+# early partial rate for the watchdog.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "50000"))
+# first chunk 12.5K: large enough to pipeline (overlap halves >= 6K)
+# yet early enough that a watchdog partial carries a real rate
+CHUNK0 = int(os.environ.get("BENCH_CHUNK0", "12500"))
 
 T0 = time.time()
 
