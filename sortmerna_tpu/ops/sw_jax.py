@@ -201,17 +201,21 @@ def _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
 
 def _use_pallas() -> bool:
     import os
-    return os.environ.get("SMR_PALLAS") == "1"
+    return os.environ.get("SMR_PALLAS") in ("1", "2")
 
 
 def _scan_dispatch(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
                    terminate, tscore):
-    """Column scan via the XLA lax.scan (default) or the Pallas kernel
-    (SMR_PALLAS=1; bit-exact -- ops/sw_pallas.py parity tests)."""
+    """Column scan via the XLA lax.scan (default) or a Pallas kernel
+    (SMR_PALLAS=1 lane-batch v1, =2 sublane-batch v2; both bit-exact --
+    ops/sw_pallas.py parity tests)."""
     if _use_pallas():
-        from .sw_pallas import sw_scan_pallas
-        return sw_scan_pallas(Q, row_valid, R, col_valid, mat,
-                              gap_open, gap_ext, terminate, tscore)
+        import os as _os
+        from .sw_pallas import sw_scan_pallas, sw_scan_pallas2
+        fn = sw_scan_pallas2 if _os.environ.get("SMR_PALLAS") == "2" \
+            else sw_scan_pallas
+        return fn(Q, row_valid, R, col_valid, mat,
+                  gap_open, gap_ext, terminate, tscore)
     return _sw_scan(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
                     terminate, tscore)
 

@@ -21,15 +21,20 @@ sublanes.  That makes every per-column operation Mosaic-natural:
 Enabled with SMR_PALLAS=1 (ops/sw_jax._scan_dispatch); the CPU
 interpreter path (``interpret=True``) backs the parity tests.
 
-STATUS (measured on the v5e, 2026-08-21): bit-exact, and 40x SLOWER
-than the XLA scan at the bench shape -- (4096, 256, 256) runs in
-0.14 ms under XLA (1,978 Gcells/s; the compiler pipelines the scan
-across columns with full-width VPU ops over [4096, 256] tiles) vs
-5.3-5.6 ms here (the per-column fori_loop serializes on [Lq, LANE_B]
-tiles).  The XLA scan therefore stays the production path; this kernel
-is kept as the measured baseline for future Mosaic work.  The same
-measurement shows the SW wave wall in the align pipeline is ~99%% link
-round-trip and dispatch, not device compute.
+STATUS (re-measured on the v5e, round 4): bit-exact and **1.3x FASTER
+than the XLA scan** at the bench shape under like-for-like
+device-resident timing -- (4096, 256, 256) in 6.3 ms vs XLA's 8.2 ms
+(42 vs 33 Gcells/s; 30 chained iterations with a real inter-iteration
+data dependency, best of 3).  The round-3 "40x slower / XLA 0.14 ms"
+comparison was a measurement artifact (the XLA number timed a
+loop-hoisted scan).  The XLA scan remains the DEFAULT because first
+use of the Pallas path through the tunneled dev chip pays minutes of
+Mosaic compiles and per-call dispatch that swamp the 2 ms/block win;
+on a non-tunneled deployment SMR_PALLAS=1 is the recommended setting.
+A v2 layout (batch on sublanes, Lq on lanes -- the XLA layout
+hand-scheduled, SMR_PALLAS=2) measured 17.9 ms: wider ops but the
+per-column sequential dependence leaves them idle; kept for the
+record.  Full numbers + MFU analysis: BENCH_NOTES.md round 4.
 """
 
 from __future__ import annotations
@@ -164,6 +169,173 @@ def _scan_call(prof5, R_T, colv_T, rowv_T, initkey, tscore, *,
         interpret=interpret,
     )(prof5, R_T, colv_T, rowv_T, initkey, tscore)
     return out[0], out[1], out[2]
+
+
+# ---------------------------------------------------------------------------
+# v2: batch on SUBLANES, query positions on LANES (the XLA scan's own
+# layout, hand-scheduled).  Addresses the v1 bottleneck -- per-column
+# ops on [Lq, 128] tiles under a 32-deep sequential grid -- by widening
+# every op to [SUB_B, Lq] and cutting the grid to B/SUB_B blocks.  The
+# lane-dim "read column j" restriction is sidestepped by encoding
+# col_valid into the ref chars (invalid -> 7) and extracting column j
+# from a 128-aligned lane chunk with a masked max-reduction.
+
+SUB_B = 512      # pairs per grid block (sublane dimension)
+
+
+def _scan_kernel2(p_ref, r_ref, rowv_ref, initkey_ref, tscore_ref,
+                  out_ref, H_ref, E_ref, st_ref, *,
+                  Lq, Lr, gap_open, gap_ext, packed, s_bits, terminate):
+    Bs = SUB_B
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Bs, Lq), 1)
+    rowv = rowv_ref[:] != 0                       # [Bs, Lq]
+    revcol = Lq - 1 - cols
+    f_ofs = cols * gap_ext
+    f_sub = (cols - 1) * gap_ext
+    profs = [p_ref[pl.ds(c * Bs, Bs), :] for c in range(5)]
+    CK = 128 if Lr >= 128 else Lr      # lane-aligned ref chunk width
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (Bs, CK), 1)
+
+    H_ref[:] = jnp.zeros((Bs, Lq), jnp.int32)
+    E_ref[:] = jnp.full((Bs, Lq), NEG, jnp.int32)
+    st_ref[:, 0:1] = jnp.zeros((Bs, 1), jnp.int32)         # best
+    st_ref[:, 1:2] = initkey_ref[:]                        # bestkey
+    st_ref[:, 2:3] = jnp.full((Bs, 1), -1, jnp.int32)      # end_ref
+    st_ref[:, 3:4] = jnp.zeros((Bs, 1), jnp.int32)         # done
+
+    def step(j, _):
+        # extract ref column j (char 0..4, 7 = invalid column) from its
+        # 128-aligned lane chunk via a masked lane reduction
+        jc = (j // CK) * CK
+        chunk = r_ref[:, pl.ds(jc, CK)]
+        rj = jnp.max(jnp.where(lane128 == (j - jc), chunk, 0),
+                     axis=1, keepdims=True)       # [Bs, 1]
+        cvj = rj < 5
+        Hprev = H_ref[:]
+        sub = profs[0]
+        for c in range(1, 5):
+            sub = jnp.where(rj == c, profs[c], sub)
+        sub = jnp.where(cvj, sub, NEG)
+        diag = jnp.where(cols == 0, 0,
+                         pltpu.roll(Hprev, 1, axis=1)) + sub
+        E = jnp.maximum(E_ref[:] - gap_ext, Hprev - gap_open)
+        E_ref[:] = E
+        Hpre = jnp.maximum(0, jnp.maximum(diag, E))
+        g = Hpre - gap_open + f_ofs
+        sh = 1
+        while sh < Lq:                 # inclusive prefix max over lanes
+            g = jnp.maximum(
+                g, jnp.where(cols >= sh, pltpu.roll(g, sh, axis=1),
+                             NEG))
+            sh *= 2
+        F = jnp.where(cols == 0, NEG,
+                      pltpu.roll(g, 1, axis=1)) - f_sub
+        H = jnp.maximum(Hpre, F)
+        H = jnp.where(rowv, H, 0)
+        H_ref[:] = H
+
+        if packed:
+            key = (H << s_bits) | revcol
+            colkey = jnp.max(key, axis=1, keepdims=True)   # [Bs, 1]
+            colmax = colkey >> s_bits
+        else:
+            colmax = jnp.max(H, axis=1, keepdims=True)
+            colkey = jnp.max(jnp.where(H == colmax, revcol, -1),
+                             axis=1, keepdims=True)
+        best = st_ref[:, 0:1]
+        done = st_ref[:, 3:4] != 0
+        valid = cvj & jnp.logical_not(done)
+        improved = (colmax > best) & valid
+        st_ref[:, 0:1] = jnp.where(improved, colmax, best)
+        st_ref[:, 1:2] = jnp.where(improved, colkey, st_ref[:, 1:2])
+        st_ref[:, 2:3] = jnp.where(improved, j, st_ref[:, 2:3])
+        if terminate:
+            done = done | ((colmax == tscore_ref[:]) & valid)
+            st_ref[:, 3:4] = done.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, Lr, step, 0)
+    out_ref[:, 0:4] = st_ref[:, 0:4]
+    out_ref[:, 4:128] = jnp.zeros((Bs, 124), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Lq", "Lr", "gap_open", "gap_ext", "terminate", "interpret"))
+def _scan_call2(prof5, R_enc, rowv, initkey, tscore, *,
+                Lq, Lr, gap_open, gap_ext, terminate, interpret=False):
+    B = R_enc.shape[0]
+    s_bits = max((Lq - 1).bit_length(), 1)
+    packed = (Lq << s_bits) < (1 << 24)
+    grid = (pl.cdiv(B, SUB_B),)
+
+    def sub_block(i):
+        return (i, 0)
+
+    kernel = functools.partial(
+        _scan_kernel2, Lq=Lq, Lr=Lr, gap_open=gap_open,
+        gap_ext=gap_ext, packed=packed, s_bits=s_bits,
+        terminate=terminate)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((5 * SUB_B, Lq), sub_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB_B, Lr), sub_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB_B, Lq), sub_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB_B, 1), sub_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB_B, 1), sub_block,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB_B, 128), sub_block,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUB_B, Lq), jnp.int32),
+            pltpu.VMEM((SUB_B, Lq), jnp.int32),
+            pltpu.VMEM((SUB_B, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(prof5, R_enc, rowv, initkey, tscore)
+    return out[:, 0], out[:, 1], out[:, 2]
+
+
+def sw_scan_pallas2(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
+                    terminate, tscore, interpret=False):
+    """v2 wrapper: batch-on-sublanes layout (see module header)."""
+    B, Lq = Q.shape
+    Lr = R.shape[1]
+    s_bits = max((Lq - 1).bit_length(), 1)
+    prof = mat.T[Q]                                   # [B, Lq, 5]
+    prof = jnp.where(row_valid[:, :, None], prof, NEG)
+    # [5*B, Lq]: per-character profiles stacked along sublanes in
+    # SUB_B-sized groups so each grid block sees its own five
+    prof5 = (prof.astype(jnp.int32)
+             .reshape(-1, SUB_B, Lq, 5)
+             .transpose(0, 3, 1, 2)
+             .reshape(-1, Lq)) if B % SUB_B == 0 else None
+    if prof5 is None:
+        raise ValueError(f"B={B} must be a multiple of {SUB_B}")
+    R_enc = jnp.where(col_valid, R, 7).astype(jnp.int32)
+    last_valid = (Lq - 1
+                  - jnp.argmax(row_valid[:, ::-1], axis=1)
+                  .astype(jnp.int32))
+    initkey = (Lq - 1 - last_valid)[:, None].astype(jnp.int32)
+    tscore_col = (jnp.zeros((B, 1), jnp.int32) if tscore is None
+                  else tscore.astype(jnp.int32)[:, None])
+    best, bestkey, end_ref = _scan_call2(
+        prof5, R_enc, row_valid.astype(jnp.int32), initkey, tscore_col,
+        Lq=Lq, Lr=Lr, gap_open=int(gap_open), gap_ext=int(gap_ext),
+        terminate=bool(terminate), interpret=interpret)
+    packed = (Lq << s_bits) < (1 << 24)
+    if packed:
+        end_read = Lq - 1 - (bestkey & ((1 << s_bits) - 1))
+    else:
+        end_read = Lq - 1 - bestkey
+    return best, end_ref, end_read
 
 
 def sw_scan_pallas(Q, row_valid, R, col_valid, mat, gap_open, gap_ext,
