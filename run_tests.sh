@@ -9,8 +9,10 @@
 #
 # The original values are stashed (SMR_SAVED_*) so opt-in hardware
 # tests (test_stress_1m) can restore them for a subprocess.
+# -n 2: two xdist workers keep the 2-core host busy (tests are
+# process-isolated; an explicit -n in "$@" wins since it comes last)
 exec env \
     SMR_SAVED_AXON="${PALLAS_AXON_POOL_IPS-}" \
     SMR_SAVED_JAX="${JAX_PLATFORMS-}" \
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-    python -m pytest "$@"
+    python -m pytest -n 2 "$@"

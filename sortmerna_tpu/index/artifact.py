@@ -36,6 +36,12 @@ def index_key(fasta_path: str, interval: int, max_pos: int,
 
 
 def save_index(built: BuiltIndex, idx_dir: str, key: str) -> None:
+    """Persist the dense index.  Write order makes concurrent/crashed
+    writers safe: part dirs are written under temp names and renamed,
+    and the ``.stats.json`` that GATES loading lands last via an atomic
+    replace -- a reader either sees a complete artifact or none, and
+    two processes building the same key race benignly (identical
+    content; the rename loser discards its copy)."""
     os.makedirs(idx_dir, exist_ok=True)
     stats = built.stats
     meta = {
@@ -50,15 +56,25 @@ def save_index(built: BuiltIndex, idx_dir: str, key: str) -> None:
         "parts_meta": [[p.start_part, p.seq_part_size, p.numseq_part,
                         p.first_seq] for p in built.parts],
     }
-    with open(os.path.join(idx_dir, f"{key}.stats.json"), "w") as f:
-        json.dump(meta, f)
     for i, p in enumerate(built.parts):
         pdir = os.path.join(idx_dir, f"{key}.part{i}")
-        os.makedirs(pdir, exist_ok=True)
+        if os.path.isdir(pdir):
+            continue                      # another writer finished it
+        tmp = f"{pdir}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         # one .npy per array, mmap-loadable (np.load of .npz decompresses
         # through zipfile and is ~50x slower for GB-scale indexes)
         for name in _PART_FIELDS:
-            np.save(os.path.join(pdir, name + ".npy"), getattr(p, name))
+            np.save(os.path.join(tmp, name + ".npy"), getattr(p, name))
+        try:
+            os.rename(tmp, pdir)
+        except OSError:                   # lost the race; same content
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    tmp_stats = os.path.join(idx_dir, f"{key}.stats.json.{os.getpid()}")
+    with open(tmp_stats, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_stats, os.path.join(idx_dir, f"{key}.stats.json"))
 
 
 def load_index(idx_dir: str, key: str) -> Optional[BuiltIndex]:

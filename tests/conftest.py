@@ -45,3 +45,34 @@ REF_DATA = pathlib.Path("/root/reference/data")
 @pytest.fixture(scope="session")
 def ref_data():
     return REF_DATA
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _shared_index_cache():
+    """Route FRESH index builds through one persistent cache dir so the
+    suite builds each (fasta, params) index once across all tests,
+    workers and sessions instead of once per test workdir (the silva DB
+    costs ~8s per cold build; save_index is concurrency-safe).
+
+    Only runtime lookups (engine.run.prepare's local import) see the
+    patch; tests that imported build_or_load directly at module top
+    (e.g. test_errors' artifact-layout assertions) keep the original,
+    and an idx_dir that already has content (pre-seeded
+    reference-format workdirs, test_refformat) is honored as-is.
+    """
+    import sortmerna_tpu.index.artifact as art
+    orig = art.build_or_load
+    shared = os.environ.get("SMR_TEST_IDX_CACHE",
+                            "/tmp/smr_test_idx_cache")
+    os.makedirs(shared, exist_ok=True)
+
+    def wrapper(fasta_path, idx_dir, *a, **kw):
+        if not idx_dir or not os.path.isdir(idx_dir) \
+                or not os.listdir(idx_dir):
+            idx_dir = shared
+        return orig(fasta_path, idx_dir, *a, **kw)
+
+    wrapper.__wrapped__ = orig      # escape hatch for layout tests
+    art.build_or_load = wrapper
+    yield
+    art.build_or_load = orig

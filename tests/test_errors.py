@@ -47,6 +47,9 @@ def test_index_artifact_counts(tmp_path):
 
     from sortmerna_tpu.index.artifact import _PART_FIELDS, build_or_load
 
+    # the conftest session fixture reroutes fresh builds into a shared
+    # cache; this test asserts the REAL artifact layout, so unwrap
+    build_or_load = getattr(build_or_load, "__wrapped__", build_or_load)
     idx = str(tmp_path / "idx")
     built = build_or_load(REF, idx)
     stats_files = [f for f in os.listdir(idx) if f.endswith(".stats.json")]

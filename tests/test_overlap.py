@@ -17,7 +17,8 @@ from sortmerna_tpu.options import RunOptions
 DB = "/root/reference/data/rRNA_databases/silva-arc-16s-id95.fasta"
 SET2 = "/root/reference/data/set2_environmental_study_550_amplicon.fasta.gz"
 
-N_READS = 9000   # above OVERLAP_MIN_READS so the overlap path engages
+N_READS = 3000   # the OVERLAP_MIN_READS gate is lowered below so the
+                 # overlap path fully engages on a suite-sized subset
 
 
 @pytest.fixture(scope="module")
@@ -30,6 +31,8 @@ def subset(tmp_path_factory):
 
 
 def _align(subset, tmp_path, tag, overlap, monkeypatch):
+    import sortmerna_tpu.engine.align as A
+    monkeypatch.setattr(A, "OVERLAP_MIN_READS", 1000)
     monkeypatch.setenv("SMR_OVERLAP", "1" if overlap else "0")
     opts = RunOptions(ref_files=[DB], reads_files=[subset],
                       workdir=str(tmp_path / tag))
@@ -43,8 +46,6 @@ def _align(subset, tmp_path, tag, overlap, monkeypatch):
 
 
 def test_overlap_matches_single(subset, tmp_path, monkeypatch):
-    from sortmerna_tpu.engine.align import OVERLAP_MIN_READS
-    assert N_READS >= OVERLAP_MIN_READS
     single, rs1 = _align(subset, tmp_path, "single", False, monkeypatch)
     dual, rs2 = _align(subset, tmp_path, "dual", True, monkeypatch)
     assert sum(1 for s in single if s[0]) > 100   # non-degenerate

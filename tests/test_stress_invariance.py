@@ -3,7 +3,7 @@
 The read partition (which reads align) must not depend on execution
 geometry: batch size (unit boundaries + journal checkpoints), host
 thread count, or read-shard layout.  set2 reads vs silva-arc-16s-id95
-on the CPU backend.  The default suite runs a 30K-read subset (shard
+on the CPU backend.  The default suite runs a 10K-read subset (shard
 invariance bites well below 100K); ``-m slow`` runs the full 100K file.
 """
 
@@ -26,11 +26,11 @@ def idx_cache(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def set2_30k(tmp_path_factory):
+def set2_10k(tmp_path_factory):
     from sortmerna_tpu.io.fastx import format_record, iter_fastx
-    p = tmp_path_factory.mktemp("reads") / "set2_30k.fasta"
+    p = tmp_path_factory.mktemp("reads") / "set2_10k.fasta"
     with open(p, "w") as f:
-        for rec in itertools.islice(iter_fastx(SET2), 30000):
+        for rec in itertools.islice(iter_fastx(SET2), 10000):
             f.write(format_record(rec))
     return str(p)
 
@@ -54,33 +54,47 @@ def _run(idx_cache, reads, batch_size=100000, threads=1, shards=None):
     return hits, n_aln, ctx.readstats
 
 
-def _check_invariance(idx_cache, reads, min_hits):
-    base_hits, base_aln, base_rs = _run(idx_cache, reads)
-    assert base_hits.sum() > min_hits, "degenerate workload"
+@pytest.fixture(scope="module")
+def base_run(idx_cache, set2_10k):
+    """One baseline align per xdist worker; the three geometry variants
+    are separate tests so the scheduler can spread them."""
+    hits, aln, rs = _run(idx_cache, set2_10k)
+    assert hits.sum() > 1500, "degenerate workload"
+    return hits, aln, rs
 
+
+def test_invariance_batch_size(idx_cache, set2_10k, base_run):
     # odd batch size -> different unit boundaries
-    h2, a2, _ = _run(idx_cache, reads, batch_size=7777)
+    base_hits, base_aln, _ = base_run
+    h2, a2, _ = _run(idx_cache, set2_10k, batch_size=7777)
     np.testing.assert_array_equal(base_hits, h2)
     assert a2 == base_aln
 
-    # host threads
-    h3, a3, rs3 = _run(idx_cache, reads, threads=4)
+
+def test_invariance_threads(idx_cache, set2_10k, base_run):
+    base_hits, base_aln, base_rs = base_run
+    h3, a3, rs3 = _run(idx_cache, set2_10k, threads=4)
     np.testing.assert_array_equal(base_hits, h3)
     assert a3 == base_aln
     assert rs3.num_aligned == base_rs.num_aligned
 
+
+def test_invariance_shards(idx_cache, set2_10k, base_run):
     # read shards over a 4-device mesh with psum'd stats
-    h4, a4, rs4 = _run(idx_cache, reads, shards=4)
+    base_hits, base_aln, base_rs = base_run
+    h4, a4, rs4 = _run(idx_cache, set2_10k, shards=4)
     np.testing.assert_array_equal(base_hits, h4)
     assert a4 == base_aln
     assert rs4.num_aligned == base_rs.num_aligned
     assert rs4.reads_matched_per_db == base_rs.reads_matched_per_db
 
 
-def test_partition_invariance_30k(idx_cache, set2_30k):
-    _check_invariance(idx_cache, set2_30k, min_hits=3000)
-
-
 @pytest.mark.slow
 def test_partition_invariance_100k(idx_cache):
-    _check_invariance(idx_cache, SET2, min_hits=10000)
+    base_hits, base_aln, base_rs = _run(idx_cache, SET2)
+    assert base_hits.sum() > 10000, "degenerate workload"
+    for kw in ({"batch_size": 7777}, {"threads": 4}, {"shards": 4}):
+        h, a, rs = _run(idx_cache, SET2, **kw)
+        np.testing.assert_array_equal(base_hits, h)
+        assert a == base_aln
+        assert rs.num_aligned == base_rs.num_aligned
