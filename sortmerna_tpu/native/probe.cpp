@@ -114,6 +114,26 @@ static void probe_range(
     ids.reserve(256);
 
     for (int64_t w = lo; w < hi; ++w) {
+        // the loop is memory-latency bound (4-6 dependent random
+        // accesses into multi-MB tables per window); two-stage
+        // prefetch pipeline: gate/offset heads at +16, and at +8 the
+        // (now cached) offsets are READ to prefetch the bucket tails
+        if (w + 16 < hi) {
+            uint64_t nw1 = (uint64_t)w1a[w + 16];
+            uint64_t nw2 = (uint64_t)w2a[w + 16];
+            __builtin_prefetch(&t.counts9[nw1]);
+            __builtin_prefetch(&t.counts9[nw2]);
+            __builtin_prefetch(&t.f19_off[nw1]);
+            __builtin_prefetch(&t.r19_off[nw2]);
+        }
+        if (w + 8 < hi) {
+            uint64_t nw1 = (uint64_t)w1a[w + 8];
+            uint64_t nw2 = (uint64_t)w2a[w + 8];
+            __builtin_prefetch(&t.f19_tails[t.f19_off[nw1]]);
+            __builtin_prefetch(&t.f19_ids[t.f19_off[nw1]]);
+            __builtin_prefetch(&t.r19_tails[t.r19_off[nw2]]);
+            __builtin_prefetch(&t.r19_ids[t.r19_off[nw2]]);
+        }
         uint64_t w1 = (uint64_t)w1a[w];
         uint64_t w2 = (uint64_t)w2a[w];
         bool gate_f = t.counts9[w1] > (uint32_t)minoccur;
