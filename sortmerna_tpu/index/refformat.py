@@ -181,66 +181,118 @@ def _pack_entry_tails(suffix10: np.ndarray, depth: int) -> np.ndarray:
 # reader
 
 
-def read_part(prefix: str, part_num: int) -> dict:
-    """One part's core arrays (builder.build_part output shape) from the
-    reference's .kmer/.bursttrie/.pos files."""
-    counts = np.fromfile(f"{prefix}.kmer_{part_num}.dat", np.uint32,
-                         _HALF)
+def _scan_trie_file(path: str):
+    """(f19, fid, r19, rid) entry arrays in stream order -- C++ scanner
+    (native/refload.cpp, ~100x the Python walk) with the Python decoder
+    as the compiler-less fallback."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None:
+        tarr = np.fromfile(path, np.uint8)
+        cap = len(tarr) // 8 + 16
+        f19 = np.empty(cap, np.uint64)
+        fid = np.empty(cap, np.uint32)
+        r19 = np.empty(cap, np.uint64)
+        rid = np.empty(cap, np.uint32)
+        cnts = np.zeros(2, np.int64)
+        rc = lib.reffmt_scan_tries(
+            tarr.ctypes.data, len(tarr),
+            f19.ctypes.data, fid.ctypes.data, cap,
+            r19.ctypes.data, rid.ctypes.data, cap, cnts.ctypes.data)
+        if rc != 0:
+            raise ValueError(f"malformed bursttrie stream: {path}")
+        nF, nR = int(cnts[0]), int(cnts[1])
+        return (f19[:nF].copy(), fid[:nF].copy(),
+                r19[:nR].copy(), rid[:nR].copy())
 
-    with open(f"{prefix}.bursttrie_{part_num}.dat", "rb") as f:
+    with open(path, "rb") as f:
         tdata = f.read()
     pos = 0
-    f19_list, fid_list = [], []
-    r19_list, rid_list, rscan_list = [], [], []
-    scan = 0
+    f19_list, fid_list, r19_list, rid_list = [], [], [], []
     for key in range(_HALF):
         szF, szR = struct.unpack_from("<II", tdata, pos)
         pos += 8
         if szF:
             buckets, pos = _walk_trie(tdata, pos)
-            for path, tails, ids in buckets:
-                suf = _decode_tails(path, tails)
+            for path_, tails, ids in buckets:
+                suf = _decode_tails(path_, tails)
                 k19 = (np.uint64(key) << np.uint64(20)) \
                     | suf.astype(np.uint64)
                 f19_list.append(k19)
                 fid_list.append(ids)
         if szR:
             buckets, pos = _walk_trie(tdata, pos)
-            for path, tails, ids in buckets:
+            for path_, tails, ids in buckets:
                 # R strings are c9..c0; rebuild c0..c18 with this key
                 # (c10..c18) as the low 18 bits
-                suf = _decode_tails(path, tails).astype(np.uint64)
-                c_hi = np.zeros(len(suf), np.uint64)   # c0..c9 MSB-first
+                suf = _decode_tails(path_, tails).astype(np.uint64)
+                c_hi = np.zeros(len(suf), np.uint64)  # c0..c9 MSB-first
                 for k in range(10):
                     c_hi = (c_hi << np.uint64(2)) \
                         | ((suf >> np.uint64(2 * k)) & np.uint64(3))
                 k19 = (c_hi << np.uint64(18)) | np.uint64(key)
                 r19_list.append(k19)
                 rid_list.append(ids)
-                rscan_list.append(np.arange(scan, scan + len(suf),
-                                            dtype=np.int64))
-                scan += len(suf)
 
-    f19 = np.concatenate(f19_list) if f19_list else np.zeros(0, np.uint64)
-    fid = np.concatenate(fid_list) if fid_list else np.zeros(0, np.uint32)
-    r19 = np.concatenate(r19_list) if r19_list else np.zeros(0, np.uint64)
-    rid = np.concatenate(rid_list) if rid_list else np.zeros(0, np.uint32)
-    rscan = np.concatenate(rscan_list) if rscan_list else \
-        np.zeros(0, np.int64)
+    def cat(lst, dt):
+        return np.concatenate(lst) if lst else np.zeros(0, dt)
 
-    with open(f"{prefix}.pos_{part_num}.dat", "rb") as f:
+    return (cat(f19_list, np.uint64), cat(fid_list, np.uint32),
+            cat(r19_list, np.uint64), cat(rid_list, np.uint32))
+
+
+def _scan_pos_file(path: str):
+    """(n_ids, sizes, pos_flat, seq_flat) -- C++ scanner with Python
+    fallback; flat arrays are in reference-id record order."""
+    from .. import native
+    lib = native.get_lib()
+    with open(path, "rb") as f:
+        head = f.read(4)
+    (n_ids,) = struct.unpack("<I", head)
+    if lib is not None:
+        parr = np.fromfile(path, np.uint8)
+        cap = (len(parr) - 4) // 8
+        sizes = np.zeros(n_ids, np.uint32)
+        pos_flat = np.empty(cap, np.uint32)
+        seq_flat = np.empty(cap, np.uint32)
+        rc = lib.reffmt_scan_pos(
+            parr.ctypes.data, len(parr), n_ids, sizes.ctypes.data,
+            pos_flat.ctypes.data, seq_flat.ctypes.data, cap)
+        if rc != n_ids:
+            raise ValueError(f"malformed pos stream: {path}")
+        total = int(sizes.astype(np.int64).sum())
+        return (n_ids, sizes.astype(np.int64),
+                pos_flat[:total].copy(), seq_flat[:total].copy())
+
+    with open(path, "rb") as f:
         pdata = f.read()
-    (n_ids,) = struct.unpack_from("<I", pdata, 0)
     sizes = np.zeros(n_ids, np.int64)
-    arrs = []
+    pos_l, seq_l = [], []
     o = 4
     for i in range(n_ids):
         (sz,) = struct.unpack_from("<I", pdata, o)
         o += 4
         sizes[i] = sz
-        arrs.append(np.frombuffer(pdata, np.uint32, 2 * sz, o)
-                    .reshape(-1, 2))
+        pair = np.frombuffer(pdata, np.uint32, 2 * sz, o).reshape(-1, 2)
         o += 8 * sz
+        pos_l.append(pair[:, 0])
+        seq_l.append(pair[:, 1])
+    pos_flat = np.concatenate(pos_l) if pos_l else np.zeros(0, np.uint32)
+    seq_flat = np.concatenate(seq_l) if seq_l else np.zeros(0, np.uint32)
+    return n_ids, sizes, pos_flat, seq_flat
+
+
+def read_part(prefix: str, part_num: int) -> dict:
+    """One part's core arrays (builder.build_part output shape) from the
+    reference's .kmer/.bursttrie/.pos files."""
+    counts = np.fromfile(f"{prefix}.kmer_{part_num}.dat", np.uint32,
+                         _HALF)
+    f19, fid, r19, rid = _scan_trie_file(
+        f"{prefix}.bursttrie_{part_num}.dat")
+    # R entries append in stream order, so their scan ranks are 0..nR-1
+    rscan = np.arange(len(r19), dtype=np.int64)
+    n_ids, sizes, pos_flat, seq_flat = _scan_pos_file(
+        f"{prefix}.pos_{part_num}.dat")
 
     # ---- remap arbitrary CMPH ids -> sorted-18-mer ranks
     order_f = np.argsort(f19, kind="stable")
@@ -256,15 +308,23 @@ def read_part(prefix: str, part_num: int) -> dict:
     rank_of_ref = np.zeros(n_ids, np.int64)
     rank_of_ref[ref_id_of_rank] = np.arange(n_ids)
 
+    # reorder the flat position lists from reference-id record order
+    # into rank order, fully vectorized (one gather)
+    rec_off = np.zeros(n_ids + 1, np.int64)
+    np.cumsum(sizes, out=rec_off[1:])
+    cnt = sizes[ref_id_of_rank]
     pos_offsets = np.zeros(n_ids + 1, np.int64)
-    np.cumsum(sizes[ref_id_of_rank], out=pos_offsets[1:])
-    pos_seq = np.zeros(int(pos_offsets[-1]), np.uint32)
-    pos_pos = np.zeros(int(pos_offsets[-1]), np.uint32)
-    for rank in range(n_ids):
-        a = arrs[int(ref_id_of_rank[rank])]
-        lo, hi = pos_offsets[rank], pos_offsets[rank + 1]
-        pos_pos[lo:hi] = a[:, 0]
-        pos_seq[lo:hi] = a[:, 1]
+    np.cumsum(cnt, out=pos_offsets[1:])
+    total = int(pos_offsets[-1])
+    if total:
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(pos_offsets[:-1], cnt))
+        idx = np.repeat(rec_off[:-1][ref_id_of_rank], cnt) + within
+        pos_pos = pos_flat[idx]
+        pos_seq = seq_flat[idx]
+    else:
+        pos_pos = np.zeros(0, np.uint32)
+        pos_seq = np.zeros(0, np.uint32)
 
     # R entries sorted by (prefix c2..c18, c1, id) like build_part
     mask_rkey = np.uint64((1 << (4 * _PW)) - 1)

@@ -37,7 +37,8 @@ def _build() -> Optional[ctypes.CDLL]:
     so = _BUILD_DIR / "libsmrtpu_native.so"
     srcs = [_SRC_DIR / "traceback.cpp", _SRC_DIR / "engine.cpp",
             _SRC_DIR / "probe.cpp", _SRC_DIR / "gumbel.cpp",
-            _SRC_DIR / "driver.cpp", _SRC_DIR / "feed_scan.cpp"]
+            _SRC_DIR / "driver.cpp", _SRC_DIR / "feed_scan.cpp",
+            _SRC_DIR / "refload.cpp"]
     hdrs = [_SRC_DIR / "engine_core.hpp"]
     if (not so.exists()
             or any(so.stat().st_mtime < s.stat().st_mtime
@@ -146,6 +147,17 @@ def _build() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p])                    # buf
     lib.gather_action_windows.argtypes = \
         [ctypes.c_void_p] * 8 + [ctypes.c_int64] + [ctypes.c_void_p] * 4
+    lib.reffmt_scan_tries.restype = ctypes.c_int64
+    lib.reffmt_scan_tries.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p]
+    lib.reffmt_scan_pos.restype = ctypes.c_int64
+    lib.reffmt_scan_pos.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64]
     lib.probe_windows.restype = ctypes.c_int64
     lib.probe_windows.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]        # fx
