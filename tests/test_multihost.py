@@ -92,6 +92,49 @@ def test_multihost_cli_reports(tmp_path):
         _filter_log((tmp_path / "base_aligned.log").read_text())
 
 
+@pytest.mark.slow
+def test_multihost_cli_reports_gzip(tmp_path):
+    """-zip_out sections merge as concatenated gzip members (the same
+    raw-byte append the reference's merge does); the DECOMPRESSED
+    merged reports must equal a single-process run's."""
+    import gzip
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    args = ["-ref", REF, "-reads", READS, "-fastx",
+            "-blast", "1 cigar", "-zip-out", "1"]
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["SMR_COORD"] = "localhost:19755"
+    env["SMR_NPROCS"] = "2"
+    procs = []
+    for pid in range(2):
+        e = dict(env, SMR_PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "sortmerna_tpu.cli", *args,
+             "-workdir", str(tmp_path / f"wd{pid}"),
+             "-aligned", str(shared / "aligned")],
+            env=e, cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+    base = subprocess.run(
+        [sys.executable, "-m", "sortmerna_tpu.cli", *args,
+         "-workdir", str(tmp_path / "wd_base"),
+         "-aligned", str(tmp_path / "base_aligned")],
+        env={**env, "SMR_NPROCS": "0"}, cwd=str(REPO),
+        capture_output=True, text=True, timeout=600)
+    assert base.returncode == 0, base.stderr[-3000:]
+    for suffix in (".blast.gz", ".fa.gz"):
+        merged = gzip.decompress(
+            (shared / ("aligned" + suffix)).read_bytes())
+        want = gzip.decompress(
+            (tmp_path / ("base_aligned" + suffix)).read_bytes())
+        assert merged == want, f"aligned{suffix} differs after merge"
+
+
 def test_two_process_multihost(tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
