@@ -298,6 +298,23 @@ def part_ref_context(ctx: RunContext, idx_num: int, part_num: int):
 # post-processing + reports (main.cpp:83-112 task graph)
 
 
+def _report_reads(ctx: RunContext):
+    """Reads view for the postprocess/report sweeps: memoized (one
+    ReadSeq + its encodings per ordinal, shared across all sweeps) up
+    to SMR_REPORT_CACHE_MAX reads (default 2M, ~1KB each); beyond that
+    the streaming LazyReads view is kept to bound memory."""
+    cached = getattr(ctx, "_report_reads", None)
+    if cached is not None:
+        return cached
+    cap = int(os.environ.get("SMR_REPORT_CACHE_MAX", "2000000"))
+    reads = ctx.reads
+    if not isinstance(reads, list) and len(reads) <= cap:
+        from ..io.feed import CachedReads
+        reads = CachedReads(reads)
+    ctx._report_reads = reads
+    return reads
+
+
 def run_postprocess(ctx: RunContext) -> Dict[str, list]:
     """denovo_stats + fill_otu_map (processor.cpp:368-438,
     otumap.cpp:192-281).  Returns the OTU map."""
@@ -307,12 +324,13 @@ def run_postprocess(ctx: RunContext) -> Dict[str, list]:
     otu_map: Dict[str, list] = {}
     if not (opts.is_otu_map or opts.is_denovo):
         return otu_map
+    reads = _report_reads(ctx)
     from ..reports.cigar_stats import precompute_part_stats
     for idx_num, built in enumerate(ctx.indexes):
         for part_num in range(len(built.parts)):
             ref_seqs, ref_headers = part_ref_context(ctx, idx_num, part_num)
             precompute_part_stats(ctx, idx_num, part_num, ref_seqs)
-            denovo_stats_part(ctx.reads, ctx.states, ref_seqs, idx_num,
+            denovo_stats_part(reads, ctx.states, ref_seqs, idx_num,
                               part_num, opts.min_id, opts.min_cov,
                               ctx.readstats)
     if opts.is_otu_map and ctx.readstats.n_yid_ycov > 0:
@@ -320,7 +338,7 @@ def run_postprocess(ctx: RunContext) -> Dict[str, list]:
             for part_num in range(len(built.parts)):
                 ref_seqs, ref_headers = part_ref_context(
                     ctx, idx_num, part_num)
-                fill_otu_map_part(ctx.reads, ctx.states, ref_seqs,
+                fill_otu_map_part(reads, ctx.states, ref_seqs,
                                   ref_headers, idx_num, part_num,
                                   opts.min_id, opts.min_cov, otu_map)
         ctx.readstats.total_otu = len(otu_map)
@@ -329,9 +347,10 @@ def run_postprocess(ctx: RunContext) -> Dict[str, list]:
 
 def _pairs(ctx: RunContext):
     """Iterate reads in report order: pairs when paired, else singles."""
+    reads = _report_reads(ctx)
     step = 2 if ctx.opts.is_paired else 1
-    for i in range(0, len(ctx.reads), step):
-        yield (ctx.reads[i:i + step], ctx.states[i:i + step])
+    for i in range(0, len(reads), step):
+        yield (reads[i:i + step], ctx.states[i:i + step])
 
 
 def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
@@ -388,13 +407,14 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
 
     # per-part passes for blast/sam (output.cpp:146-149)
     if blast_f or sam_f:
+        reads = _report_reads(ctx)
         from ..reports.cigar_stats import precompute_part_stats
         for idx_num, built in enumerate(ctx.indexes):
             for part_num in range(len(built.parts)):
                 ref_seqs, ref_headers = part_ref_context(
                     ctx, idx_num, part_num)
                 precompute_part_stats(ctx, idx_num, part_num, ref_seqs)
-                for read, st in zip(ctx.reads, ctx.states):
+                for read, st in zip(reads, ctx.states):
                     if blast_f:
                         blast_f.write(blast_for_read(
                             read, st.alignments, ref_headers, ref_seqs,

@@ -411,15 +411,20 @@ class PackedReadsFile:
     def load(self) -> None:
         with open(self._meta_path()) as f:
             self.meta = json.load(f)
-        mm = lambda name: np.load(os.path.join(self.dir, name),
-                                  mmap_mode="r")
+        # np.asarray strips the np.memmap subclass into a plain ndarray
+        # VIEW over the same mapping (no copy; pages stay lazy): memmap
+        # slicing pays ~2.7us of subclass __array_finalize__ per access,
+        # which dominated the report sweeps (800K+ slices per 100K
+        # reads)
+        mm = lambda name: np.asarray(np.load(
+            os.path.join(self.dir, name), mmap_mode="r"))
         self.seq = mm("seq.npy")
-        self.seq_off = np.asarray(mm("seq_off.npy"))
+        self.seq_off = mm("seq_off.npy")
         self.hdr = mm("hdr.npy")
-        self.hdr_off = np.asarray(mm("hdr_off.npy"))
+        self.hdr_off = mm("hdr_off.npy")
         if self.meta["is_fastq"]:
             self.qual = mm("qual.npy")
-            self.qual_off = np.asarray(mm("qual_off.npy"))
+            self.qual_off = mm("qual_off.npy")
 
     # -- access --------------------------------------------------------
 
@@ -566,3 +571,30 @@ class LazyReads(Sequence):
         if not 0 <= i < n:
             raise IndexError(i)
         return self.feed.readseq(self.lo + i)
+
+
+class CachedReads(Sequence):
+    """Memoizing wrapper over a reads sequence for the REPORT phase.
+
+    The postprocess + report passes sweep the reads ~5x (fastx,
+    blast/sam per part, denovo per part, otu per part); LazyReads
+    materializes a fresh ReadSeq -- and re-derives its lazy encodings
+    -- on every access.  Caching per ordinal keeps one object alive
+    across all sweeps so headers/sequences decode once and the 03/04
+    encodings compute once.  Memory is ~1KB/read touched, so callers
+    gate this on read count (engine.run._report_reads)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self._cache = [None] * len(inner)
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        v = self._cache[i]
+        if v is None:
+            v = self._cache[i] = self.inner[i]
+        return v
