@@ -72,7 +72,7 @@ def prepare(opts: RunOptions) -> RunContext:
         gumbel_override=opts.gumbel_override,
         cache_dir=opts.idx_dir or None)
 
-    states = [ReadState() for _ in reads]
+    states = [ReadState() for _ in range(len(reads))]
     for st in states:
         if opts.min_lis > 0:
             st.best = opts.min_lis       # read.cpp:267
@@ -453,11 +453,16 @@ def run_all(opts: RunOptions, sw_backend=None,
             "with its journal present resumes automatically)."
             % opts.kvdb_dir)
 
+    def read_ids():
+        if hasattr(ctx.reads, "ids"):    # no ReadSeq materialization
+            return ctx.reads.ids()
+        return [r.id for r in ctx.reads]
+
     if db is not None and task in (1, 2):
         # restore states from a previous align task
         saved = db.load_states()
-        for r, i in ((r, i) for i, r in enumerate(ctx.reads)):
-            st = saved.get(r.id)
+        for i, rid in enumerate(read_ids()):
+            st = saved.get(rid)
             if st is not None:
                 ctx.states[i] = st
         stats = db.load_readstats(readfiles_key(opts.reads_files))
@@ -470,7 +475,7 @@ def run_all(opts: RunOptions, sw_backend=None,
         run_align(ctx, sw_backend=sw_backend, journal=journal,
                   batch_size=batch_size)
         if db is not None:
-            db.save_states([r.id for r in ctx.reads], ctx.states)
+            db.save_states(read_ids(), ctx.states)
             db.save_readstats(readfiles_key(opts.reads_files),
                               ctx.readstats)
             journal.remove()    # subsumed by the consolidated state
@@ -483,7 +488,7 @@ def run_all(opts: RunOptions, sw_backend=None,
             os.makedirs(out_dir, exist_ok=True)
             write_otu_map(otu_map, os.path.join(out_dir, "otu_map.txt"))
         if db is not None:
-            db.save_states([r.id for r in ctx.reads], ctx.states)
+            db.save_states(read_ids(), ctx.states)
             db.save_readstats(readfiles_key(opts.reads_files),
                               ctx.readstats)
         write_summary(opts, ctx.refstats, ctx.readstats, len(otu_map))

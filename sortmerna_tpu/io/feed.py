@@ -558,6 +558,12 @@ class LazyReads(Sequence):
         return self.feed.packed_slice(self.lo + lo,
                                       min(self.lo + hi, self.hi))
 
+    def ids(self) -> List[str]:
+        """All read ids ('{file_idx}_{read_num}', read.cpp:616-650)
+        without materializing ReadSeq objects."""
+        loc = self.feed.loc
+        return ["%d_%d" % loc(g) for g in range(self.lo, self.hi)]
+
     def __getitem__(self, i):
         n = self.hi - self.lo
         if isinstance(i, slice):
