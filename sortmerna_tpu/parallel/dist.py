@@ -293,6 +293,13 @@ def run_all_multihost(opts, sw_backend=None):
     (cli.py main).  Each process needs its own workdir (kvdb/readb are
     per-process) but a SHARED -aligned/-other prefix on a common
     filesystem for the sections to merge.
+
+    Ordering note: blast/sam rows are host-major (each host's sections
+    are part-outer over ITS reads).  A single process writes part-outer
+    over ALL reads (output.cpp:169-272), so for MULTI-part indexes the
+    row order differs between the two layouts while the row SET is
+    identical; single-part runs (the common case, and the byte-diffed
+    tests) are identical either way.
     """
     from ..engine.run import (prepare, run_align, run_postprocess,
                               run_reports)
