@@ -99,6 +99,19 @@ class RunOptions:
     def finalize(self) -> "RunOptions":
         """Derive directories and apply the default fixups
         (Runopts::validate, options.cpp:1660-1760)."""
+        # input files must exist and be non-empty (Runopts::opt_reads /
+        # opt_ref existence checks, options.cpp:123-183; an empty file
+        # would otherwise surface as a parser traceback deep in the
+        # feed)
+        for kind, paths in (("reads", self.reads_files),
+                            ("reference", self.ref_files)):
+            for p in paths:
+                if not os.path.exists(p):
+                    raise SystemExit(
+                        f"ERROR: {kind} file does not exist: {p}")
+                if os.path.getsize(p) == 0:
+                    raise SystemExit(
+                        f"ERROR: {kind} file is empty: {p}")
         if self.workdir:
             self.idx_dir = self.idx_dir or os.path.join(self.workdir, "idx")
             self.kvdb_dir = self.kvdb_dir or os.path.join(self.workdir, "kvdb")

@@ -40,6 +40,22 @@ def test_ref_shorter_inproc():
         build_index(SHORT_REF)
 
 
+def test_empty_and_missing_inputs(tmp_path):
+    """Empty or missing input files exit with a clean message, not a
+    parser traceback (reference empty_file.fasta fixture behavior)."""
+    from sortmerna_tpu.options import RunOptions
+    empty = "/root/reference/data/empty_file.fasta"
+    with pytest.raises(SystemExit, match="empty"):
+        RunOptions(ref_files=[REF], reads_files=[empty],
+                   workdir=str(tmp_path)).finalize()
+    with pytest.raises(SystemExit, match="empty"):
+        RunOptions(ref_files=[empty], reads_files=[READS],
+                   workdir=str(tmp_path)).finalize()
+    with pytest.raises(SystemExit, match="does not exist"):
+        RunOptions(ref_files=[REF], reads_files=["/nope/missing.fa"],
+                   workdir=str(tmp_path)).finalize()
+
+
 def test_index_artifact_counts(tmp_path):
     """t4 analogue: our artifact layout is one stats json + one dir of
     .npy arrays per part; counts must match the documented invariant."""
@@ -94,10 +110,11 @@ def test_cli_bad_L_warns_and_keeps_default(capsys):
 
 
 def test_missing_reads_file(tmp_path):
-    opts = parse_args(["-ref", REF, "-reads", str(tmp_path / "nope.fq"),
-                       "-workdir", str(tmp_path / "wd")])
-    from sortmerna_tpu.engine.run import run_all
-    with pytest.raises((FileNotFoundError, OSError)):
+    with pytest.raises(SystemExit, match="does not exist"):
+        opts = parse_args(
+            ["-ref", REF, "-reads", str(tmp_path / "nope.fq"),
+             "-workdir", str(tmp_path / "wd")])
+        from sortmerna_tpu.engine.run import run_all
         run_all(opts)
 
 
