@@ -27,8 +27,14 @@ def denovo_stats_part(reads: List[ReadSeq], states: List[ReadState],
         for aln in st.alignments:
             if aln.index_num != index_num or aln.part != part_num:
                 continue
-            _, _, _, idr_raw, cov_raw = calc_miss_gap_match(
-                refs_seqs[aln.ref_num], read.strand04(aln.strand), aln)
+            # consult the batched-precompute cache BEFORE touching the
+            # read encodings (strand04 is only needed on a cache miss)
+            m = aln.mgm
+            if m is None:
+                m = calc_miss_gap_match(
+                    refs_seqs[aln.ref_num], read.strand04(aln.strand),
+                    aln)
+            _, _, _, idr_raw, cov_raw = m
             idr = math.floor(idr_raw * 1000.0 + 0.5) / 1000.0
             covr = math.floor(cov_raw * 1000.0 + 0.5) / 1000.0
             is_id = idr >= min_id
@@ -59,8 +65,12 @@ def fill_otu_map_part(reads: List[ReadSeq], states: List[ReadState],
         for aln in st.alignments:
             if aln.index_num != index_num or aln.part != part_num:
                 continue
-            _, _, _, idr_raw, cov_raw = calc_miss_gap_match(
-                refs_seqs[aln.ref_num], read.strand04(aln.strand), aln)
+            m = aln.mgm
+            if m is None:
+                m = calc_miss_gap_match(
+                    refs_seqs[aln.ref_num], read.strand04(aln.strand),
+                    aln)
+            _, _, _, idr_raw, cov_raw = m
             idr = math.floor(idr_raw * 1000.0 + 0.5) * 0.001
             covr = math.floor(cov_raw * 1000.0 + 0.5) * 0.001
             if idr >= min_id and covr >= min_cov:

@@ -85,13 +85,16 @@ def blast_for_read(read: ReadSeq, alignments: List[Alignment],
             _f32(lam * aln.score1 - math.log(K)) / _f32(math.log(2)))
         evalue = refstats.evalue(index_num, aln.score1)
         ref_id = refs_headers[aln.ref_num].split(" ", 1)[0].split("\t", 1)[0]
-        read_seq = read.strand04(aln.strand)
 
         if blast_format == "regular":
             out.append(_regular_block(
-                read, aln, ref_id, refs_seqs[aln.ref_num], read_seq,
-                aln.score1, bitscore, evalue))
+                read, aln, ref_id, refs_seqs[aln.ref_num],
+                read.strand04(aln.strand), aln.score1, bitscore, evalue))
         else:
+            # tabular rows only touch the read encoding on an mgm
+            # cache miss (cigar_stats precompute covers the sweep)
+            read_seq = None if aln.mgm is not None \
+                else read.strand04(aln.strand)
             out.append(_tabular_row(
                 read, aln, ref_id, refs_seqs[aln.ref_num], read_seq,
                 bitscore, evalue, blastops))
