@@ -311,6 +311,12 @@ def run_all_multihost(opts, sw_backend=None):
         from ..engine.run import run_all
         return run_all(opts, sw_backend=sw_backend)
 
+    opts.finalize()
+    if opts.task != 4:
+        raise SystemExit(
+            "ERROR: --task splitting is a single-host workflow (the "
+            "per-task state store is per-process); multi-host runs "
+            "execute the full pipeline (--task 4).")
     ctx = prepare(opts)
     slices = shard_reads(len(ctx.reads), pcount, opts.is_paired)
     mine = slices[pidx]
