@@ -27,6 +27,11 @@ _PART_FIELDS = [f.name for f in dataclasses.fields(IndexPart)
 
 def index_key(fasta_path: str, interval: int, max_pos: int,
               max_file_size_mb: float, seed_win_len: int = 18) -> str:
+    """Artifact cache key.  BUMP the version tag below whenever the
+    on-disk layout changes (_PART_FIELDS, array dtypes, meta schema):
+    the test suite shares a PERSISTENT cache dir across sessions
+    (tests/conftest.py _shared_index_cache), so a layout change without
+    a version bump would load stale artifacts."""
     st = os.stat(fasta_path)
     h = hashlib.sha1()
     h.update(str(os.path.abspath(fasta_path)).encode())
