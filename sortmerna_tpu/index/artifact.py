@@ -152,16 +152,18 @@ def build_or_load(fasta_path: str, idx_dir: Optional[str],
         if cached is not None:
             return cached
         # drop-in reuse of a workdir indexed by the REFERENCE binary
-        # (.kmer_N/.bursttrie_N/.pos_N/.stats, index.cpp:145-354)
-        if seed_win_len == 18:
-            ref_pfx = find_reference_artifacts(fasta_path, idx_dir)
-            if ref_pfx is not None:
-                from ..util import INFO
-                from .refformat import read_reference_index
+        # (.kmer_N/.bursttrie_N/.pos_N/.stats, index.cpp:145-354);
+        # the artifact's recorded seed length must match the run's
+        ref_pfx = find_reference_artifacts(fasta_path, idx_dir)
+        if ref_pfx is not None:
+            from ..util import INFO
+            from .refformat import read_reference_index, read_stats
+            if int(read_stats(ref_pfx + ".stats")["lnwin"]) \
+                    == seed_win_len:
                 INFO(f"loading reference-format index {ref_pfx}.*")
                 built = read_reference_index(ref_pfx)
                 # cache the converted dense layout so later runs skip
-                # the (python-paced) trie walk
+                # the trie scan
                 save_index(built, idx_dir, key)
                 return built
     built = build_index(fasta_path, interval, max_pos, max_file_size_mb,

@@ -41,8 +41,9 @@ from .builder import (BuiltIndex, IndexPart, IndexStats, RefSeqMeta,
                       build_part, finish_part, scan_reference,
                       _part_boundaries)
 
-_PW = 9                      # the reference format is fixed at L=18
-_HALF = 1 << (2 * _PW)
+_PW = 9                      # default seed length L=18 (pw = L/2);
+                             # readers/writers parameterize over any
+                             # even L in 8..26 like the reference
 
 
 # ---------------------------------------------------------------------------
@@ -152,11 +153,12 @@ def _walk_trie(data: bytes, pos: int) -> Tuple[list, int]:
     return buckets, pos
 
 
-def _decode_tails(path: Tuple[int, ...], tails: np.ndarray) -> np.ndarray:
-    """Full 10-char suffix strings (MSB-first packed 20 bits) from a
+def _decode_tails(path: Tuple[int, ...], tails: np.ndarray,
+                  pw: int = _PW) -> np.ndarray:
+    """Full (pw+1)-char suffix strings (MSB-first packed) from a
     bucket: path chars + LSB-first-packed stored tail."""
     depth = len(path)
-    s = _PW + 1 - depth
+    s = pw + 1 - depth
     out = np.zeros(len(tails), np.uint32)
     for c in path:
         out = (out << np.uint32(2)) | np.uint32(c)
@@ -167,9 +169,10 @@ def _decode_tails(path: Tuple[int, ...], tails: np.ndarray) -> np.ndarray:
     return out
 
 
-def _pack_entry_tails(suffix10: np.ndarray, depth: int) -> np.ndarray:
+def _pack_entry_tails(suffix10: np.ndarray, depth: int,
+                      pw: int = _PW) -> np.ndarray:
     """Inverse of _decode_tails for a depth-``depth`` bucket."""
-    s = _PW + 1 - depth
+    s = pw + 1 - depth
     out = np.zeros(len(suffix10), np.uint32)
     for k in range(s):
         ch = (suffix10 >> np.uint32(2 * (s - 1 - k))) & np.uint32(3)
@@ -181,7 +184,7 @@ def _pack_entry_tails(suffix10: np.ndarray, depth: int) -> np.ndarray:
 # reader
 
 
-def _scan_trie_file(path: str):
+def _scan_trie_file(path: str, pw: int = _PW):
     """(f19, fid, r19, rid) entry arrays in stream order -- C++ scanner
     (native/refload.cpp, ~100x the Python walk) with the Python decoder
     as the compiler-less fallback."""
@@ -198,7 +201,8 @@ def _scan_trie_file(path: str):
         rc = lib.reffmt_scan_tries(
             tarr.ctypes.data, len(tarr),
             f19.ctypes.data, fid.ctypes.data, cap,
-            r19.ctypes.data, rid.ctypes.data, cap, cnts.ctypes.data)
+            r19.ctypes.data, rid.ctypes.data, cap, cnts.ctypes.data,
+            pw)
         if rc != 0:
             raise ValueError(f"malformed bursttrie stream: {path}")
         nF, nR = int(cnts[0]), int(cnts[1])
@@ -209,28 +213,28 @@ def _scan_trie_file(path: str):
         tdata = f.read()
     pos = 0
     f19_list, fid_list, r19_list, rid_list = [], [], [], []
-    for key in range(_HALF):
+    for key in range(1 << (2 * pw)):
         szF, szR = struct.unpack_from("<II", tdata, pos)
         pos += 8
         if szF:
             buckets, pos = _walk_trie(tdata, pos)
             for path_, tails, ids in buckets:
-                suf = _decode_tails(path_, tails)
-                k19 = (np.uint64(key) << np.uint64(20)) \
+                suf = _decode_tails(path_, tails, pw)
+                k19 = (np.uint64(key) << np.uint64(2 * pw + 2)) \
                     | suf.astype(np.uint64)
                 f19_list.append(k19)
                 fid_list.append(ids)
         if szR:
             buckets, pos = _walk_trie(tdata, pos)
             for path_, tails, ids in buckets:
-                # R strings are c9..c0; rebuild c0..c18 with this key
-                # (c10..c18) as the low 18 bits
-                suf = _decode_tails(path_, tails).astype(np.uint64)
-                c_hi = np.zeros(len(suf), np.uint64)  # c0..c9 MSB-first
-                for k in range(10):
+                # R strings are c(pw)..c0; rebuild c0..c(pw) with this
+                # key as the low 2*pw bits
+                suf = _decode_tails(path_, tails, pw).astype(np.uint64)
+                c_hi = np.zeros(len(suf), np.uint64)   # MSB-first
+                for k in range(pw + 1):
                     c_hi = (c_hi << np.uint64(2)) \
                         | ((suf >> np.uint64(2 * k)) & np.uint64(3))
-                k19 = (c_hi << np.uint64(18)) | np.uint64(key)
+                k19 = (c_hi << np.uint64(2 * pw)) | np.uint64(key)
                 r19_list.append(k19)
                 rid_list.append(ids)
 
@@ -282,19 +286,19 @@ def _scan_pos_file(path: str):
     return n_ids, sizes, pos_flat, seq_flat
 
 
-def read_part(prefix: str, part_num: int) -> dict:
+def read_part(prefix: str, part_num: int, pw: int = _PW) -> dict:
     """One part's core arrays (builder.build_part output shape) from the
     reference's .kmer/.bursttrie/.pos files."""
     counts = np.fromfile(f"{prefix}.kmer_{part_num}.dat", np.uint32,
-                         _HALF)
+                         1 << (2 * pw))
     f19, fid, r19, rid = _scan_trie_file(
-        f"{prefix}.bursttrie_{part_num}.dat")
+        f"{prefix}.bursttrie_{part_num}.dat", pw)
     # R entries append in stream order, so their scan ranks are 0..nR-1
     rscan = np.arange(len(r19), dtype=np.int64)
     n_ids, sizes, pos_flat, seq_flat = _scan_pos_file(
         f"{prefix}.pos_{part_num}.dat")
 
-    # ---- remap arbitrary CMPH ids -> sorted-18-mer ranks
+    # ---- remap arbitrary CMPH ids -> sorted-L-mer ranks
     order_f = np.argsort(f19, kind="stable")
     uk19 = f19[order_f]
     uk19_ids_ref = fid[order_f]
@@ -326,13 +330,13 @@ def read_part(prefix: str, part_num: int) -> dict:
         pos_pos = np.zeros(0, np.uint32)
         pos_seq = np.zeros(0, np.uint32)
 
-    # R entries sorted by (prefix c2..c18, c1, id) like build_part
-    mask_rkey = np.uint64((1 << (4 * _PW)) - 1)
-    mask_rpref = np.uint64((1 << (4 * _PW - 2)) - 1)
+    # R entries sorted by (prefix c2..cL, c1, id) like build_part
+    mask_rkey = np.uint64((1 << (4 * pw)) - 1)
+    mask_rpref = np.uint64((1 << (4 * pw - 2)) - 1)
     r_rkey = r19 & mask_rkey
     r_rank = rank_of_ref[rid.astype(np.int64)].astype(np.uint32)
     r_sortkey = ((r_rkey & mask_rpref) << np.uint64(2)) \
-        | (r_rkey >> np.uint64(4 * _PW - 2))
+        | (r_rkey >> np.uint64(4 * pw - 2))
     r_order = np.lexsort((r_rank, r_sortkey))
 
     return dict(
@@ -347,15 +351,19 @@ def read_part(prefix: str, part_num: int) -> dict:
         r_rkey_sorted=r_rkey[r_order],
         r_ids=r_rank[r_order],
         r_scan_sorted=rscan[r_order],
-        pw=_PW,
+        pw=pw,
     )
 
 
 def read_reference_index(prefix: str) -> BuiltIndex:
     """A BuiltIndex from a workdir indexed in the reference's format."""
     meta = read_stats(prefix + ".stats")
-    if meta["lnwin"] != 2 * _PW:
-        raise ValueError("reference-format indexes are fixed at L=18")
+    lnwin = int(meta["lnwin"])
+    if lnwin % 2 or not (8 <= lnwin <= 26):
+        raise ValueError(
+            f"unsupported seed length {lnwin} in {prefix}.stats "
+            "(even 8..26, options.cpp opt_L)")
+    pw = lnwin // 2
     stats = IndexStats(
         fasta_path=meta["fasta_path"],
         fasta_size=meta["fasta_size"],
@@ -369,7 +377,7 @@ def read_reference_index(prefix: str) -> BuiltIndex:
     first_seq = 0
     for pn, (start_part, seq_part_size, numseq_part) in \
             enumerate(meta["parts"]):
-        part = finish_part(read_part(prefix, pn))
+        part = finish_part(read_part(prefix, pn, pw))
         part.start_part = int(start_part)
         part.seq_part_size = int(seq_part_size)
         part.numseq_part = int(numseq_part)
@@ -385,7 +393,8 @@ def read_reference_index(prefix: str) -> BuiltIndex:
 
 def write_reference_index(fasta_path: str, prefix: str,
                           interval: int = 1, max_pos: int = 10000,
-                          max_file_size_mb: float = 3072.0) -> None:
+                          max_file_size_mb: float = 3072.0,
+                          seed_win_len: int = 2 * _PW) -> None:
     """Index ``fasta_path`` and serialize it in the reference's on-disk
     format under ``prefix`` (drop-in for a reference workdir).
 
@@ -393,6 +402,9 @@ def write_reference_index(fasta_path: str, prefix: str,
     the loader accepts any valid shape.  R-trie entry order is the
     builder's first-occurrence scan order, which carries the 0-error
     representative semantics (traverse_bursttrie.cpp:237-262)."""
+    if seed_win_len % 2 or not (8 <= seed_win_len <= 26):
+        raise ValueError("seed_win_len must be an even integer in 8..26")
+    pw = seed_win_len // 2
     metas, bg, full_len, spans, enc_seqs = scan_reference(fasta_path)
     groups = _part_boundaries([m.length for m in metas],
                               max_file_size_mb)
@@ -401,13 +413,14 @@ def write_reference_index(fasta_path: str, prefix: str,
         fasta_size=os.path.getsize(fasta_path),
         background_freq=bg / bg.sum(),
         full_len=full_len,
-        seed_win_len=2 * _PW,
+        seed_win_len=seed_win_len,
         numseq=len(metas),
         sam_sq=metas,
     )
     parts_meta: List[IndexPart] = []
     for pn, group in enumerate(groups):
-        core = build_part([enc_seqs[i] for i in group], interval, max_pos)
+        core = build_part([enc_seqs[i] for i in group], interval,
+                          max_pos, pw=pw)
         core["kmer_counts"].astype(np.uint32).tofile(
             f"{prefix}.kmer_{pn}.dat")
 
@@ -441,26 +454,27 @@ def write_reference_index(fasta_path: str, prefix: str,
         uk19 = core["uk19"]
         uids = refid_of_rank[core["uk19_ids"].astype(np.int64)].astype(
             np.uint32)
-        keyf = (uk19 >> np.uint64(20)).astype(np.int64)
-        keyr = (uk19 & np.uint64((1 << 18) - 1)).astype(np.int64)
+        half = 1 << (2 * pw)
+        keyf = (uk19 >> np.uint64(2 * pw + 2)).astype(np.int64)
+        keyr = (uk19 & np.uint64((1 << (2 * pw)) - 1)).astype(np.int64)
         # group indices per key; BOTH trie sides insert at the 19-mer's
         # first scan occurrence, so bucket entry order is scan order
         # within each key (it also carries the R-side 0-error
         # representative semantics, traverse_bursttrie.cpp:237-262)
         scan_order = np.argsort(core["uk19_first"], kind="stable")
         orderF = scan_order[np.argsort(keyf[scan_order], kind="stable")]
-        fb = np.searchsorted(keyf[orderF], np.arange(_HALF + 1))
+        fb = np.searchsorted(keyf[orderF], np.arange(half + 1))
         orderR = scan_order[np.argsort(keyr[scan_order], kind="stable")]
-        rb = np.searchsorted(keyr[orderR], np.arange(_HALF + 1))
+        rb = np.searchsorted(keyr[orderR], np.arange(half + 1))
         with open(f"{prefix}.bursttrie_{pn}.dat", "wb") as f:
-            for key in range(_HALF):
+            for key in range(half):
                 selF = orderF[fb[key]:fb[key + 1]]
                 selR = orderR[rb[key]:rb[key + 1]]
                 root_f = _build_root(uk19[selF], uids[selF],
-                                     reverse=False) \
+                                     reverse=False, pw=pw) \
                     if len(selF) else None
                 root_r = _build_root(uk19[selR], uids[selR],
-                                     reverse=True) \
+                                     reverse=True, pw=pw) \
                     if len(selR) else None
                 f.write(struct.pack("<II", _trie_size(root_f),
                                     _trie_size(root_r)))
@@ -502,13 +516,13 @@ def _trie_stats(node: list) -> Tuple[int, int]:
 
 
 # bucket burst parameters (indexdb.hpp:57-60, insert_prefix burst rule:
-# burst while depth < pread - partialwin - 3 and size > THRESHOLD)
+# burst while depth < pread - partialwin - 3 = pw - 2 and
+# size > THRESHOLD)
 _THRESHOLD = 128
-_MAX_BURST_DEPTH = 19 - _PW - 3
 
 
 def _build_trie(tails0: np.ndarray, top: np.ndarray,
-                ids: np.ndarray) -> list:
+                ids: np.ndarray, pw: int = _PW) -> list:
     """Faithful replay of the reference's incremental insert_prefix
     (indexdb.cpp:147-310): entries insert one at a time in scan order;
     a bucket whose size exceeds THRESHOLD *on an insert* (and depth <
@@ -523,7 +537,7 @@ def _build_trie(tails0: np.ndarray, top: np.ndarray,
     list of (tail_lsb_first, id) for flag 2 or a child node for flag 1.
     """
     root = [[0, None] for _ in range(4)]
-    max_d = _MAX_BURST_DEPTH
+    max_d = (2 * pw + 1) - pw - 3      # pread - partialwin - 3
     for t, c, i in zip(tails0.tolist(), top.tolist(), ids.tolist()):
         node = root
         depth = 1
@@ -574,17 +588,19 @@ def _serialize_trie(root: list) -> bytes:
 
 
 def _build_root(entries19: np.ndarray, ids: np.ndarray,
-                reverse: bool) -> list:
+                reverse: bool, pw: int = _PW) -> list:
     """In-memory mini-burst trie for one key; entry (insertion) order
     preserved (it carries the 0-error representative semantics)."""
     if reverse:
         suf = np.zeros(len(entries19), np.uint32)
-        for k in range(10):
+        for k in range(pw + 1):
             suf = (suf << np.uint32(2)) | (
-                (entries19 >> np.uint64(18 + 2 * k))
+                (entries19 >> np.uint64(2 * pw + 2 * k))
                 & np.uint64(3)).astype(np.uint32)
     else:
-        suf = (entries19 & np.uint64((1 << 20) - 1)).astype(np.uint32)
-    top = (suf >> np.uint32(2 * _PW)) & np.uint32(3)   # first suffix char
-    tails0 = _pack_entry_tails(suf & np.uint32((1 << (2 * _PW)) - 1), 1)
-    return _build_trie(tails0, top, ids.astype(np.uint32))
+        suf = (entries19
+               & np.uint64((1 << (2 * pw + 2)) - 1)).astype(np.uint32)
+    top = (suf >> np.uint32(2 * pw)) & np.uint32(3)  # first suffix char
+    tails0 = _pack_entry_tails(
+        suf & np.uint32((1 << (2 * pw)) - 1), 1, pw)
+    return _build_trie(tails0, top, ids.astype(np.uint32), pw)

@@ -14,9 +14,6 @@
 
 namespace {
 
-constexpr int PW = 9;                    // format is fixed at L=18
-constexpr int64_t HALF = 1ll << (2 * PW);
-
 struct Cursor {
     const uint8_t* d;
     int64_t n;
@@ -32,11 +29,13 @@ struct Cursor {
     }
 };
 
-// one serialized mini-burst trie: emit (suffix10, id) per bucket entry
+// one serialized mini-burst trie: emit (suffix, id) per bucket entry
 // in stream order.  Queue entries carry (depth, path) with the path
-// packed MSB-first in 2-bit chars.
+// packed MSB-first in 2-bit chars.  PW = seed_win_len / 2 (the tail
+// holds PW+1-depth chars; <= 28 bits for PW <= 13).
 struct QEnt { uint8_t flag; uint8_t depth; uint32_t path; };
 
+template <int PW>
 static bool walk_trie(Cursor& c, std::vector<uint32_t>& suf,
                       std::vector<uint32_t>& ids) {
     std::vector<QEnt> q;                 // FIFO via head index
@@ -76,21 +75,20 @@ static bool walk_trie(Cursor& c, std::vector<uint32_t>& suf,
     return true;
 }
 
-}  // namespace
-
-extern "C" {
-
 // Scan a whole .bursttrie_N.dat payload.  Outputs (caller-allocated,
 // capacity cap = file_size/8 is a safe bound): F entries as packed
-// 19-mers (key<<20 | suffix10) + ids, R entries as packed 19-mers
-// (c0..c18 rebuilt from the reversed-suffix encoding) + ids, both in
-// stream order (== the builder's insertion order).  Writes the entry
-// counts to counts2[2]; returns 0, or -1 on a malformed stream /
-// capacity overflow.
-int64_t reffmt_scan_tries(const uint8_t* data, int64_t n_bytes,
-                          uint64_t* f19, uint32_t* fid, int64_t capF,
-                          uint64_t* r19, uint32_t* rid, int64_t capR,
-                          int64_t* counts2) {
+// (L+1)-mers (key << (2*PW+2) | suffix) + ids, R entries as packed
+// (L+1)-mers (c0..c(2*PW) rebuilt from the reversed-suffix encoding)
+// + ids, both in stream order (== the builder's insertion order).
+// Writes the entry counts to counts2[2]; returns 0, or -1 on a
+// malformed stream / capacity overflow.
+template <int PW>
+static int64_t scan_tries_impl(const uint8_t* data, int64_t n_bytes,
+                               uint64_t* f19, uint32_t* fid,
+                               int64_t capF,
+                               uint64_t* r19, uint32_t* rid,
+                               int64_t capR, int64_t* counts2) {
+    constexpr int64_t HALF = 1ll << (2 * PW);
     Cursor c{data, n_bytes};
     std::vector<uint32_t> suf, ids;
     int64_t nF = 0, nR = 0;
@@ -99,27 +97,27 @@ int64_t reffmt_scan_tries(const uint8_t* data, int64_t n_bytes,
         if (!c.ok) return -1;
         if (szF) {
             suf.clear(); ids.clear();
-            if (!walk_trie(c, suf, ids)) return -1;
+            if (!walk_trie<PW>(c, suf, ids)) return -1;
             if (nF + (int64_t)suf.size() > capF) return -1;
             for (size_t i = 0; i < suf.size(); ++i) {
-                f19[nF] = ((uint64_t)key << 20) | suf[i];
+                f19[nF] = ((uint64_t)key << (2 * PW + 2)) | suf[i];
                 fid[nF] = ids[i];
                 ++nF;
             }
         }
         if (szR) {
             suf.clear(); ids.clear();
-            if (!walk_trie(c, suf, ids)) return -1;
+            if (!walk_trie<PW>(c, suf, ids)) return -1;
             if (nR + (int64_t)suf.size() > capR) return -1;
             for (size_t i = 0; i < suf.size(); ++i) {
-                // R suffix10 holds c9..c0 (MSB-first); rebuild
-                // c0..c9 then append this key as the low 18 bits
+                // the R suffix holds c(PW)..c0 (MSB-first); rebuild
+                // c0..c(PW) then append this key as the low 2*PW bits
                 uint64_t s = suf[i], c_hi = 0;
-                for (int k = 0; k < 10; ++k) {
+                for (int k = 0; k < PW + 1; ++k) {
                     c_hi = (c_hi << 2) | (s & 3);
                     s >>= 2;
                 }
-                r19[nR] = (c_hi << 18) | (uint64_t)key;
+                r19[nR] = (c_hi << (2 * PW)) | (uint64_t)key;
                 rid[nR] = ids[i];
                 ++nR;
             }
@@ -128,6 +126,30 @@ int64_t reffmt_scan_tries(const uint8_t* data, int64_t n_bytes,
     counts2[0] = nF;
     counts2[1] = nR;
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// pw = seed_win_len / 2 (the reference handles every even -L in 8..26)
+int64_t reffmt_scan_tries(const uint8_t* data, int64_t n_bytes,
+                          uint64_t* f19, uint32_t* fid, int64_t capF,
+                          uint64_t* r19, uint32_t* rid, int64_t capR,
+                          int64_t* counts2, int32_t pw) {
+    switch (pw) {
+    case 4:  return scan_tries_impl<4>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 5:  return scan_tries_impl<5>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 6:  return scan_tries_impl<6>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 7:  return scan_tries_impl<7>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 8:  return scan_tries_impl<8>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 9:  return scan_tries_impl<9>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 10: return scan_tries_impl<10>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 11: return scan_tries_impl<11>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 12: return scan_tries_impl<12>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    case 13: return scan_tries_impl<13>(data, n_bytes, f19, fid, capF, r19, rid, capR, counts2);
+    default: return -1;
+    }
 }
 
 // Scan a whole .pos_N.dat payload: uint32 n_ids, then per id uint32

@@ -83,6 +83,29 @@ def test_writer_matches_real_artifact_bytes(real_artifacts, tmp_path):
     assert bytes(ours) == bytes(real)
 
 
+def test_nondefault_L_parity(tmp_path):
+    """The format generalizes over -L exactly like the reference: the
+    checked-in L=14 artifacts (produced by the reference's build_index
+    at -L 14) load bit-identical to a fresh L=14 build, and our writer
+    reproduces their bytes (modulo the .stats padding)."""
+    top = tmp_path / "l14"
+    top.mkdir()
+    for gz in FIXTURE.glob("GQ14*.gz"):
+        (top / gz.name[:-3]).write_bytes(gzip.decompress(gz.read_bytes()))
+    loaded = read_reference_index(str(top / "GQ14"))
+    assert loaded.stats.seed_win_len == 14
+    built = build_index(REF, seed_win_len=14)
+    for pa, pb in zip(loaded.parts, built.parts):
+        for name in _ARRAYS:
+            assert np.array_equal(np.asarray(getattr(pa, name)),
+                                  np.asarray(getattr(pb, name))), name
+    prefix = str(tmp_path / "w14")
+    write_reference_index(REF, prefix, seed_win_len=14)
+    for sfx in (".kmer_0.dat", ".bursttrie_0.dat", ".pos_0.dat"):
+        assert open(prefix + sfx, "rb").read() == \
+            (top / ("GQ14" + sfx)).read_bytes(), sfx
+
+
 def test_align_from_real_artifacts(real_artifacts, tmp_path):
     """Full align over the reference-binary-produced index == align
     over a fresh build."""
