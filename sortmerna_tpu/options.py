@@ -130,6 +130,14 @@ class RunOptions:
             self.is_paired = True
         if not self.skiplengths:
             self.skiplengths = [[0, 0, 0] for _ in self.ref_files]
+        elif len(self.skiplengths) == 1 and len(self.ref_files) > 1:
+            # one --passes triple applies to every database (the
+            # DOCUMENTED semantics; the reference's own opt_passes is
+            # broken -- options.cpp:724 emplace_back(int) builds
+            # zero-filled vectors that refstats.cpp:159 then overwrites
+            # with defaults, so its --passes silently does nothing)
+            self.skiplengths = [list(self.skiplengths[0])
+                                for _ in self.ref_files]
         for sl in self.skiplengths:
             if sl[0] == 0 or sl[1] == 0 or sl[2] == 0:
                 sl[0] = self.seed_win_len

@@ -69,6 +69,18 @@ def test_union_semantics_and_order_invariance(tmp_path):
     assert ctx.readstats.num_aligned == ctx_rev.readstats.num_aligned
 
 
+def test_passes_applies_to_every_db(tmp_path):
+    """--passes with multiple -ref: the triple replicates per database
+    (the reference's own opt_passes silently no-ops -- PARITY.md #11;
+    before the replication fix this crashed on the second index)."""
+    opts = parse_args([
+        "-ref", DB16, "-ref", DB23, "-reads", SET7,
+        "-passes", "18,9,3", "-fastx", "-workdir", str(tmp_path)])
+    ctx = run_all(opts)
+    assert opts.skiplengths == [[18, 9, 3], [18, 9, 3]]
+    assert sum(1 for s in ctx.states if s.is_hit) == 4
+
+
 def test_cross_db_alignments_report(tmp_path):
     """Reads drawn from BOTH databases: each aligns to its own DB and
     the blast report names reference sequences from the right one."""
