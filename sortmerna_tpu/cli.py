@@ -307,6 +307,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                           opts.max_pos, opts.max_file_size)
         print("Only performed indexing as 'index' = 1 was specified")
         return 0
+    # persistent JIT cache: SW tile shapes recompile in ~20-40s each
+    # through a tunneled chip; caching them makes every start after the
+    # first warm (SMR_JIT_CACHE overrides the location, "0" disables)
+    cache = os.environ.get("SMR_JIT_CACHE",
+                           os.path.expanduser("~/.cache/smr_tpu_jit"))
+    if cache and cache != "0":
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     if int(os.environ.get("SMR_NPROCS", "0") or 0) > 1:
         # multi-host launch: one process per host with SMR_COORD /
         # SMR_NPROCS / SMR_PROC_ID set (parallel/dist.run_all_multihost)
