@@ -32,6 +32,8 @@ def sam_for_read(read: ReadSeq, alignments: List[Alignment],
     if is_print_all_reads and not alignments \
             and index_num == 0 and part_num == 0:
         return read.seq_id + "\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+    from ..constants import NT_MAP
+    from .blast import calc_miss_gap_match
     for aln in alignments:
         if aln.index_num != index_num or aln.part != part_num:
             continue
@@ -46,15 +48,16 @@ def sam_for_read(read: ReadSeq, alignments: List[Alignment],
         if end_mask > 0:
             cig += f"{end_mask}S"
         # SEQ in the aligned orientation (report_sam.cpp:116-120)
-        from ..constants import NT_MAP
-        seq = NT_MAP[read.strand04(aln.strand)].tobytes().decode("ascii")
+        seq04 = read.strand04(aln.strand)
+        seq = NT_MAP[seq04].tobytes().decode("ascii")
         if read.quality:
             qual = read.quality if aln.strand else read.quality[::-1]
         else:
             qual = "*"
-        from .blast import calc_miss_gap_match
-        miss, gaps, _, _, _ = calc_miss_gap_match(
-            refs_seqs[aln.ref_num], read.strand04(aln.strand), aln)
+        m = aln.mgm
+        if m is None:
+            m = calc_miss_gap_match(refs_seqs[aln.ref_num], seq04, aln)
+        miss, gaps = m[0], m[1]
         out.append(
             f"{read.seq_id}\t{flag}\t{ref_id}\t{aln.ref_begin1 + 1}\t255\t"
             f"{cig}\t*\t0\t0\t{seq}\t{qual}\tAS:i:{aln.score1}\t"
