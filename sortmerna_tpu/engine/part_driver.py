@@ -203,6 +203,11 @@ class NativePartDriver:
         from ..util import timed
         with timed("trav_pump"):
             n = lib.trav_pump(self.h)
+        if n < 0:
+            raise ValueError(
+                "native driver: probe_windows reported an unsupported "
+                "seed half-width (stale .so? pw is validated to 4..13 "
+                "upstream)")
         if n == 0:
             return None
         self._wave_n = n

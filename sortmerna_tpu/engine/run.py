@@ -353,8 +353,20 @@ def _pairs(ctx: RunContext):
         yield (reads[i:i + step], ctx.states[i:i + step])
 
 
-def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
-    """writeReports equivalent (output.cpp:80-272)."""
+def run_reports(ctx: RunContext, otu_map: Dict[str, list], *,
+                part_sections: bool = False,
+                sam_header_out: bool = True) -> None:
+    """writeReports equivalent (output.cpp:80-272).
+
+    With ``part_sections=True`` (multi-host report shards) blast/sam
+    rows are written to one file per global index part --
+    ``<pfx>.g{g:04d}.blast[.gz]`` with g numbering the (db, part) sweep
+    order -- and the SAM header goes to a ``.g0000.sam`` section (only
+    when ``sam_header_out``; one host owns it).  The multi-host merger
+    concatenates sections part-outer/host-inner, reproducing the
+    part-outer row order a single process writes over all reads
+    (output.cpp:196-236, report.cpp:56-96).
+    """
     from ..reports.blast import blast_for_read
     from ..reports.fastx import DenovoReport, FastxReport
     from ..reports.sam import sam_for_read, sam_header
@@ -382,13 +394,22 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
     import gzip as _gzip
     op = (lambda p: _gzip.open(p + ".gz", "wt")) if gz else \
         (lambda p: open(p, "wt"))
-    if opts.is_blast:
-        blast_f = op(opts.aligned_pfx + ".blast")
-    if opts.is_sam:
-        sam_f = op(opts.aligned_pfx + ".sam")
-        sam_f.write(sam_header(
+
+    def _write_sam_header(f):
+        f.write(sam_header(
             opts, [[(m.header, m.length) for m in ix.stats.sam_sq]
                    for ix in ctx.indexes] if opts.is_SQ else []))
+
+    if not part_sections:
+        if opts.is_blast:
+            blast_f = op(opts.aligned_pfx + ".blast")
+        if opts.is_sam:
+            sam_f = op(opts.aligned_pfx + ".sam")
+            _write_sam_header(sam_f)
+    elif opts.is_sam and sam_header_out:
+        hf = op(opts.aligned_pfx + ".g0000.sam")
+        _write_sam_header(hf)
+        hf.close()
 
     # single pass for fastx/other/denovo (output.cpp:126-144, 234-236)
     if fastx or other or denovo:
@@ -406,11 +427,19 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
                 rep.close()
 
     # per-part passes for blast/sam (output.cpp:146-149)
-    if blast_f or sam_f:
+    if opts.is_blast or opts.is_sam:
         reads = _report_reads(ctx)
         from ..reports.cigar_stats import precompute_part_stats
+        g = 0
         for idx_num, built in enumerate(ctx.indexes):
             for part_num in range(len(built.parts)):
+                g += 1
+                if part_sections:
+                    if opts.is_blast:
+                        blast_f = op(
+                            opts.aligned_pfx + f".g{g:04d}.blast")
+                    if opts.is_sam:
+                        sam_f = op(opts.aligned_pfx + f".g{g:04d}.sam")
                 ref_seqs, ref_headers = part_ref_context(
                     ctx, idx_num, part_num)
                 precompute_part_stats(ctx, idx_num, part_num, ref_seqs)
@@ -425,6 +454,11 @@ def run_reports(ctx: RunContext, otu_map: Dict[str, list]) -> None:
                         sam_f.write(sam_for_read(
                             read, st.alignments, ref_headers, ref_seqs,
                             idx_num, part_num, opts.is_print_all_reads))
+                if part_sections:
+                    for f in (blast_f, sam_f):
+                        if f:
+                            f.close()
+                    blast_f = sam_f = None
         for f in (blast_f, sam_f):
             if f:
                 f.close()

@@ -398,10 +398,13 @@ def write_reference_index(fasta_path: str, prefix: str,
     """Index ``fasta_path`` and serialize it in the reference's on-disk
     format under ``prefix`` (drop-in for a reference workdir).
 
-    Tries are written as flat one-level tries (four depth-1 buckets);
-    the loader accepts any valid shape.  R-trie entry order is the
-    builder's first-occurrence scan order, which carries the 0-error
-    representative semantics (traverse_bursttrie.cpp:237-262)."""
+    Tries are grown by replaying the reference's incremental-burst
+    insertion (``_build_trie``: insertion-order buckets bursting into
+    child nodes at THRESHOLD, indexdb.cpp:222-301), and ids are
+    assigned CMPH-CHM first-occurrence order -- the produced bytes
+    match the reference's own ``build_index`` output bit-for-bit
+    (tests/test_refformat.py vs the compiled tools/refindexer
+    fixtures)."""
     if seed_win_len % 2 or not (8 <= seed_win_len <= 26):
         raise ValueError("seed_win_len must be an even integer in 8..26")
     pw = seed_win_len // 2

@@ -72,6 +72,7 @@ struct Driver {
                                 // halves sharing the same buffers), so
                                 // per-position scratch is base-relative
     int pw = 9;                 // half-window chars (lnwin / 2)
+    bool error = false;         // fatal probe error (unsupported pw)
     std::vector<int64_t> lens;
 
     // pass transition tables (paralleltraversal.cpp:259-283)
@@ -251,6 +252,10 @@ static void run_pass_prefix(Driver* d) {
                 d->out_win.data(), d->out_id.data(), cap,
                 (int32_t)d->ip[P_THREADS], (int32_t)d->pw);
             if (n >= 0) break;
+            if (n == INT64_MIN) {   // unsupported-pw sentinel from
+                d->error = true;    // probe.cpp, NOT a capacity hint
+                return;             // (negating it is signed overflow)
+            }
             cap = -n + 16;
         }
         d->t_probe += now_s() - t1;
@@ -442,6 +447,7 @@ int32_t trav_pump(void* h) {
                 break;
             }
             run_pass_prefix(d);
+            if (d->error) return -1;    // unsupported-pw probe sentinel
             d->state = Driver::PASS_ISSUED;
             break;
         case Driver::DONE:

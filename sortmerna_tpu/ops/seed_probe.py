@@ -159,6 +159,13 @@ class SeedSearcher:
                 self.threads, self.pw)
             if n >= 0:
                 return out_win[:n], out_id[:n]
+            if n == -(2 ** 63):
+                # probe.cpp's unsupported-pw sentinel, not a capacity
+                # hint (pw is validated to 4..13 upstream; belt and
+                # braces against a stale .so)
+                raise ValueError(
+                    f"native probe_windows: unsupported seed half-width"
+                    f" pw={self.pw} (supported 4..13)")
             cap = int(-n) + 16
 
     def _search_numpy(self, w1: np.ndarray, w2: np.ndarray

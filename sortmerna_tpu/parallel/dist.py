@@ -234,34 +234,59 @@ def _barrier() -> None:
 
 
 def _merge_sections(final_pfx: str, n_hosts: int) -> None:
-    """Concatenate per-host report sections ``<pfx>.s{i}<suffix>`` into
-    ``<pfx><suffix>`` in host order -- the split-file merge of
-    report.cpp:56-96 (each split covers one host's contiguous read
-    range; appending raw bytes in order reproduces the global read
-    order).  SAM headers are kept from section 0 only; gzip sections
-    concatenate into a valid multi-member stream (as the reference's
-    byte-append does).  Section files are removed after the merge."""
+    """Concatenate per-host report sections into ``<pfx><suffix>`` --
+    the split-file merge of report.cpp:56-96.
+
+    Two section shapes exist (written by ``run_reports``):
+
+    * plain ``<pfx>.s{i}<suffix>`` (fastx/other/denovo): each section
+      covers one host's contiguous read range; appending in host order
+      reproduces the global read order.
+    * part-sectioned ``<pfx>.s{i}.g{g:04d}<ext>`` (blast/sam): g
+      numbers the (db, part) sweep, g=0 is the host-0-only SAM header
+      section.  Merging part-outer/host-inner reproduces the part-outer
+      row order a single process writes over all reads
+      (output.cpp:196-236).
+
+    No content filtering happens here -- hosts other than the header
+    owner never write SAM headers, so raw byte appends are exact (and
+    gzip sections concatenate into a valid multi-member stream, as the
+    reference's byte-append merge does).  Section files are removed
+    after the merge."""
     import glob as _glob
-    s0 = final_pfx + ".s0"
-    for path0 in sorted(_glob.glob(_glob.escape(s0) + "*")):
-        suffix = path0[len(s0):]
+    import re as _re
+
+    sec_re = _re.compile(
+        _re.escape(final_pfx) + r"\.s(\d+)(\.g(\d{4}))?((\.|_).*)$")
+    plain: dict = {}                 # suffix -> {host: path}
+    parts: dict = {}                 # ext -> {(g, host): path}
+    for path in _glob.glob(_glob.escape(final_pfx) + ".s*"):
+        m = sec_re.match(path)
+        if not m:
+            continue
+        host, gtag, g, suffix = (int(m.group(1)), m.group(2),
+                                 m.group(3), m.group(4))
         if suffix.endswith(".otu.json"):
             continue
-        out_path = final_pfx + suffix
-        sam = suffix.split(".gz")[0].endswith(".sam")
-        with open(out_path, "wb") as out:
+        if gtag is not None:
+            parts.setdefault(suffix, {})[(int(g), host)] = path
+        else:
+            plain.setdefault(suffix, {})[host] = path
+
+    def _append(out, path):
+        with open(path, "rb") as f:
+            out.write(f.read())
+        os.remove(path)
+
+    for suffix, by_host in sorted(plain.items()):
+        with open(final_pfx + suffix, "wb") as out:
             for i in range(n_hosts):
-                sec = f"{final_pfx}.s{i}{suffix}"
-                if not os.path.exists(sec):
-                    continue
-                with open(sec, "rb") as f:
-                    data = f.read()
-                if sam and i > 0:
-                    data = b"".join(
-                        ln for ln in data.splitlines(keepends=True)
-                        if not ln.startswith(b"@"))
-                out.write(data)
-                os.remove(sec)
+                if i in by_host:
+                    _append(out, by_host[i])
+    for suffix, by_key in sorted(parts.items()):
+        with open(final_pfx + suffix, "wb") as out:
+            for key in sorted(by_key):      # (g, host) ascending
+                _append(out, by_key[key])
 
 
 def _merge_otu_sections(final_pfx: str, n_hosts: int) -> dict:
@@ -294,12 +319,11 @@ def run_all_multihost(opts, sw_backend=None):
     per-process) but a SHARED -aligned/-other prefix on a common
     filesystem for the sections to merge.
 
-    Ordering note: blast/sam rows are host-major (each host's sections
-    are part-outer over ITS reads).  A single process writes part-outer
-    over ALL reads (output.cpp:169-272), so for MULTI-part indexes the
-    row order differs between the two layouts while the row SET is
-    identical; single-part runs (the common case, and the byte-diffed
-    tests) are identical either way.
+    Ordering: blast/sam sections are written per (host, index part) and
+    merged part-outer/host-inner, matching the part-outer row order a
+    single process writes over all reads (output.cpp:169-272) -- byte
+    parity holds for multi-part and multi-DB sweeps, not just the
+    single-part case.
     """
     from ..engine.run import (prepare, run_align, run_postprocess,
                               run_reports)
@@ -341,7 +365,8 @@ def run_all_multihost(opts, sw_backend=None):
     rsub = dataclasses.replace(sub, opts=sopts, readstats=ctx.readstats)
     out_dir = os.path.dirname(opts.aligned_pfx) or "."
     os.makedirs(out_dir, exist_ok=True)
-    run_reports(rsub, otu_map)
+    run_reports(rsub, otu_map, part_sections=True,
+                sam_header_out=(pidx == 0))
     if opts.is_otu_map:
         with open(opts.aligned_pfx + f".s{pidx}.otu.json", "w") as f:
             _json.dump(list(otu_map.items()), f)

@@ -21,26 +21,46 @@ READS = "/root/reference/data/illumina_GQ099317.fasta"
 
 
 def _filter_log(text: str) -> str:
-    """Drop run-specific summary lines (cmdline, pid, timestamp)."""
+    """Drop the run-specific summary lines by the writer's STRUCTURE
+    (summary.py summary_text): the line after ' Command:', the
+    ' Process pid' line, and the trailing timestamp (the last non-blank
+    line of the file).  Every counter/parameter line is compared
+    exactly."""
     out = []
+    skip_next = False
     for ln in text.splitlines(True):
-        if ln.startswith("    sortmerna") or "Process pid" in ln:
+        if skip_next:
+            skip_next = False
             continue
-        if ln.startswith(" ") and ln.strip().count(":") == 2 \
-                and ln.strip()[-4:].isdigit():
-            continue       # ' Mon Jan  1 12:00:00 2026' timestamp line
+        if ln.startswith(" Command:"):
+            out.append(ln)
+            skip_next = True
+            continue
+        if ln.startswith(" Process pid"):
+            continue
         out.append(ln)
+    for i in range(len(out) - 1, -1, -1):   # trailing timestamp line
+        if out[i].strip():
+            del out[i]
+            break
     return "".join(out)
 
 
 def test_multihost_cli_reports(tmp_path):
     """The CLI under SMR_COORD/SMR_NPROCS/SMR_PROC_ID writes per-host
     report sections and process 0 merges them -- the merged
-    aligned.blast / aligned.fa / otu_map.txt / aligned.log must be
-    byte-identical to a single-process run (report.cpp:56-96)."""
+    aligned.blast / aligned.sam / aligned.fa / otu_map.txt /
+    aligned.log must be byte-identical to a single-process run
+    (report.cpp:56-96).  Runs against TWO databases (a second copy of
+    the GQ ref) so blast/sam rows span two global index parts with
+    rows from both hosts in each: the part-outer/host-inner section
+    merge must reproduce the single process's part-outer row order
+    (output.cpp:196-236), not a host-major one."""
     shared = tmp_path / "shared"
     shared.mkdir()
-    args = ["-ref", REF, "-reads", READS, "-fastx",
+    ref2 = tmp_path / "ref_copy.fasta"
+    ref2.write_bytes(pathlib.Path(REF).read_bytes())
+    args = ["-ref", REF, "-ref", str(ref2), "-reads", READS, "-fastx",
             "-blast", "1 cigar qcov qstrand", "-sam", "-otu_map",
             "-de_novo_otu", "-num_alignments", "2"]
     env = dict(os.environ)
@@ -101,7 +121,7 @@ def test_multihost_cli_reports_gzip(tmp_path):
     shared = tmp_path / "shared"
     shared.mkdir()
     args = ["-ref", REF, "-reads", READS, "-fastx",
-            "-blast", "1 cigar", "-zip-out", "1"]
+            "-blast", "1 cigar", "-sam", "-zip-out", "1"]
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
@@ -133,6 +153,13 @@ def test_multihost_cli_reports_gzip(tmp_path):
         want = gzip.decompress(
             (tmp_path / ("base_aligned" + suffix)).read_bytes())
         assert merged == want, f"aligned{suffix} differs after merge"
+    # gz SAM: decompressed body identical modulo the @PG cmdline line
+    # (hosts>0 never write headers; no byte filtering in the merge)
+    def sam_body(raw):
+        return [ln for ln in gzip.decompress(raw).decode().splitlines()
+                if not ln.startswith("@PG")]
+    assert sam_body((shared / "aligned.sam.gz").read_bytes()) == \
+        sam_body((tmp_path / "base_aligned.sam.gz").read_bytes())
 
 
 def test_two_process_multihost(tmp_path):
