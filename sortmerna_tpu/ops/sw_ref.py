@@ -169,11 +169,13 @@ def banded_sw_traceback(ref: np.ndarray, query: np.ndarray, score: int,
                 h[i + 1, j + 1] = hcur
                 e[i + 1, j + 1] = ecur
                 dirs[i, j] = (de, df, dh)
-            # band edge reset (ssw.c:635): cells just outside the band are 0
-            edge = end + 1
-            if edge <= refLen:
-                h[i + 1, edge] = 0
-                e[i + 1, edge] = NEG
+            # No explicit band-edge reset is needed in the dense form:
+            # out-of-band cells are never written, so they stay at their
+            # 0 (h) / NEG (e) initialization -- the dense equivalent of
+            # the reference's per-row zeroing of its reused band arrays
+            # (ssw.c:635).  (An earlier reset here was off by one and
+            # clobbered the last IN-band cell, flipping tie-broken
+            # paths -- caught by tests/test_refssw.py.)
         if mx >= score:
             break
         band_width *= 2
