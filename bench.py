@@ -52,6 +52,11 @@ CHUNK0 = int(os.environ.get("BENCH_CHUNK0", "12500"))
 
 T0 = time.time()
 
+# stage timers on by default: the captured JSON carries the host/device
+# split so the host-bound analysis is machine-readable (VERDICT r4);
+# must be set before any sortmerna_tpu import (read at import time)
+os.environ.setdefault("SMR_TIMERS", "1")
+
 # Shared partial state: the watchdog prints from this if the main thread
 # has not finished in time.
 _state = {
@@ -60,6 +65,7 @@ _state = {
     "n_aligned": 0,
     "printed": False,
     "stage": "startup",
+    "pass_secs": [],
 }
 _lock = threading.Lock()
 
@@ -88,6 +94,20 @@ def emit(partial: bool):
             "wall_sec": round(time.time() - T0, 1),
             "passes": _state.get("passes", 1),
         }
+        # every pass's rate + the median, so the best-of-N number
+        # carries its own error bar (tunnel-phase variance)
+        psecs = _state.get("pass_secs") or []
+        if reads and psecs:
+            rates = sorted(round(reads / s, 1) for s in psecs)
+            out["pass_reads_per_sec"] = [round(reads / s, 1)
+                                         for s in psecs]
+            mid = len(rates) // 2
+            med = rates[mid] if len(rates) % 2 else \
+                (rates[mid - 1] + rates[mid]) / 2
+            out["median_reads_per_sec"] = round(med, 1)
+        split = _state.get("stage_split")
+        if split:
+            out["stage_split_all_passes_sec"] = split
         if partial:
             out["partial"] = True
             out["stage"] = _state["stage"]
@@ -298,6 +318,9 @@ def main():
     best_aligned = _state["n_aligned"]
     passes = 1
     if done == n:
+        with _lock:
+            _state["pass_secs"].append(t_align)
+    if done == n:
         max_passes = int(os.environ.get("BENCH_PASSES", "3"))
         while passes < max_passes \
                 and time.time() - T0 < HARD_EXIT_S - 40 - best_align * 2:
@@ -313,6 +336,8 @@ def main():
                 log("pass %d ran into the hard-exit margin" % (passes + 1))
             passes += 1
             n_hit = sum(1 for s in pass_states if s.is_hit)
+            with _lock:
+                _state["pass_secs"].append(t_pass)
             log("pass %d: %.2fs (%.0f reads/s), %d aligned"
                 % (passes, t_pass, n / t_pass, n_hit))
             if n_hit != best_aligned:
@@ -325,6 +350,10 @@ def main():
                     _state["n_aligned"] = n_hit
     with _lock:
         _state["passes"] = passes
+        if timers_enabled():
+            from sortmerna_tpu.util import TIMERS
+            _state["stage_split"] = {
+                k: round(v[0], 2) for k, v in sorted(TIMERS.items())}
 
     _state["stage"] = "done"
     with _lock:

@@ -493,8 +493,20 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     """
     from .part_driver import NativePartDriver
 
-    mid = batch.n // 2
-    spans = [(0, mid), (mid, batch.n)]
+    # Split count trades finer host/device interleave (each sub-range's
+    # FIRST wave is the big one; smaller slices expose less device wait
+    # behind too little host work) against per-driver overhead and more
+    # device dispatches (~30-45ms each through the tunnel).  Measured on
+    # the 2-core bench host at 100K reads: 2 -> 40.6K reads/s (device
+    # wait ~0.8s/pass exposed), 4 -> 47K, 8 -> 54K, 12-16 -> 52-57K
+    # (sw_fetch collapses to ~0.1s/pass), 24 -> regresses on per-driver
+    # overhead.  Default 12 sits on the plateau.
+    k = int(os.environ.get("SMR_OVERLAP_SPLIT", "12"))
+    k = max(2, min(k, 32))
+    cuts = [batch.n * i // k for i in range(k + 1)]
+    spans = [(cuts[i], cuts[i + 1]) for i in range(k)
+             if cuts[i] < cuts[i + 1]]
+    k = len(spans)
     drvs = [NativePartDriver(part, ctx, opts, batch, states[lo:hi],
                              skiplengths, states_fresh=states_fresh,
                              lo=lo, hi=hi)
@@ -505,18 +517,18 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     # the explicit submit/fetch split keeps both halves' waves in
     # flight, while thread-per-half serializes on each blocking fetch.
     try:
-        hands = [None, None]
+        hands = [None] * k
 
         def advance(i):
             jb = drvs[i].pump_jobs()
             hands[i] = None if jb is None else \
                 backend.batch_coords_submit(*jb)
 
-        advance(0)
-        advance(1)
+        for i in range(k):
+            advance(i)
         while True:
             progressed = False
-            for i in (0, 1):
+            for i in range(k):
                 if hands[i] is not None:
                     res = backend.batch_coords_fetch(hands[i])
                     drvs[i].post(res)

@@ -439,8 +439,18 @@ class JaxSwBackend:
             if len(ba) < len(tent):
                 lq = self._len_bucket(int(q_len[ba].max()))
                 lr = self._len_bucket(int(r_len[ba].max()))
-            B = rows if (n > rows or self._pad_full_block) \
-                else self._min_block(len(ba))
+            if self._pad_full_block:
+                # accelerator: pad to a SHORT block ladder (256/1024/
+                # 4096) instead of always the full block -- late small
+                # waves (pass 2/3, strand 2) otherwise pay a whole
+                # 4096-row tile (~12ms device) for a few hundred jobs.
+                # Three shapes per length bucket keeps the compiled set
+                # tiny and the persistent JIT cache makes each a
+                # one-time cost.
+                B = max(self._min_block(len(ba)), 256)
+                B = min(B, rows)           # long-read cell-budget cap
+            else:
+                B = rows if n > rows else self._min_block(len(ba))
             hq, hr = lq // 2, lr // 2
             buf = np.empty((B, hq + hr + 12), np.uint8)
             if self.native is not None:
