@@ -501,7 +501,17 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     # wait ~0.8s/pass exposed), 4 -> 47K, 8 -> 54K, 12-16 -> 52-57K
     # (sw_fetch collapses to ~0.1s/pass), 24 -> regresses on per-driver
     # overhead.  Default 12 sits on the plateau.
-    k = int(os.environ.get("SMR_OVERLAP_SPLIT", "12"))
+    k_env = os.environ.get("SMR_OVERLAP_SPLIT")
+    if k_env is not None:
+        k = int(k_env)
+    else:
+        # accelerators benefit from fine slicing (dispatch latency to
+        # hide); on the CPU backend extra waves are pure overhead
+        try:
+            import jax
+            k = 12 if jax.default_backend() != "cpu" else 2
+        except Exception:
+            k = 2
     k = max(2, min(k, 32))
     cuts = [batch.n * i // k for i in range(k + 1)]
     spans = [(cuts[i], cuts[i + 1]) for i in range(k)
@@ -516,26 +526,67 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     # async-submit scheduler (39.6K vs 44.4K reads/s, adjacent runs):
     # the explicit submit/fetch split keeps both halves' waves in
     # flight, while thread-per-half serializes on each blocking fetch.
+    nworkers = int(os.environ.get("SMR_OVERLAP_THREADS", "1"))
     try:
-        hands = [None] * k
-
-        def advance(i):
-            jb = drvs[i].pump_jobs()
-            hands[i] = None if jb is None else \
-                backend.batch_coords_submit(*jb)
-
-        for i in range(k):
-            advance(i)
-        while True:
-            progressed = False
+        if nworkers > 1:
+            # Worker-pool scheduler: each worker drives whole slices
+            # (pump -> submit -> blocking fetch -> post); a blocking
+            # fetch releases the GIL (C transfer wait), so the other
+            # worker's host stages run on the second core.  The round-4
+            # thread-per-half failure mode (two blocking fetches
+            # starving submission) is diluted by k slices per worker.
+            import queue as _queue
+            import threading as _threading
+            work: "_queue.SimpleQueue[int]" = _queue.SimpleQueue()
             for i in range(k):
-                if hands[i] is not None:
-                    res = backend.batch_coords_fetch(hands[i])
-                    drvs[i].post(res)
-                    advance(i)
-                    progressed = True
-            if not progressed:
-                break
+                work.put(i)
+            errs: list = []
+
+            def drive():
+                while True:
+                    try:
+                        i = work.get_nowait()
+                    except _queue.Empty:
+                        return
+                    try:
+                        while True:
+                            jb = drvs[i].pump_jobs()
+                            if jb is None:
+                                break
+                            h = backend.batch_coords_submit(*jb)
+                            drvs[i].post(backend.batch_coords_fetch(h))
+                    except BaseException as e:  # noqa: BLE001
+                        errs.append(e)
+                        return
+
+            ths = [_threading.Thread(target=drive)
+                   for _ in range(min(nworkers, k))]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            if errs:
+                raise errs[0]
+        else:
+            hands = [None] * k
+
+            def advance(i):
+                jb = drvs[i].pump_jobs()
+                hands[i] = None if jb is None else \
+                    backend.batch_coords_submit(*jb)
+
+            for i in range(k):
+                advance(i)
+            while True:
+                progressed = False
+                for i in range(k):
+                    if hands[i] is not None:
+                        res = backend.batch_coords_fetch(hands[i])
+                        drvs[i].post(res)
+                        advance(i)
+                        progressed = True
+                if not progressed:
+                    break
         for (lo, hi), drv in zip(spans, drvs):
             drv.finish(states[lo:hi], readstats)
     finally:

@@ -53,6 +53,15 @@ def _build() -> Optional[ctypes.CDLL]:
                  "-pthread", "-o", str(tmp)] + [str(s) for s in srcs],
                 check=True, capture_output=True)
             os.replace(tmp, so)
+        except subprocess.CalledProcessError as e:
+            # a silent fallback to the numpy paths turns a compile typo
+            # into a 100x slowdown that looks like a hang -- say why
+            import sys
+            print("sortmerna_tpu: native build FAILED, using numpy "
+                  "fallback:\n" + e.stderr.decode()[-2000:],
+                  file=sys.stderr)
+            tmp.unlink(missing_ok=True)
+            return None
         except Exception:
             tmp.unlink(missing_ok=True)
             return None

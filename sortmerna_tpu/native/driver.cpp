@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "engine_core.hpp"
@@ -198,6 +199,10 @@ static void run_pass_prefix(Driver* d) {
     double t0 = now_s();
     d->w1v.clear(); d->w2v.clear();
     d->pb_read.clear(); d->pb_pos.clear();
+    // NOTE: threading this loop (and pack_p9) over P_THREADS was
+    // measured SLOWER at the production overlap split (12 slices make
+    // each call's work a few ms; spawn + per-thread buffers + concat
+    // cost more than the loop).  Keep serial.
     for (int32_t ord : d->la) {
         int64_t shift = d->win_shift[ord];
         int64_t numwin = (d->lens[ord] - lnwin + shift) / shift;

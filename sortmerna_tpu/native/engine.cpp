@@ -24,6 +24,7 @@
 #include <deque>
 #include <map>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include "engine_core.hpp"
@@ -858,7 +859,39 @@ void cand_read_states_batch(void* h, const int32_t* ords, int64_t n,
 }
 
 int32_t cand_num_actions(void* h) {
-    return (int32_t)((Engine*)h)->actions.size();
+    Engine* e = (Engine*)h;
+    // Compact the replace-min churn before export: only the LAST action
+    // per (read, slot) shapes the final alignment list (best-N
+    // bookkeeping, alignment.cpp:420-459), so superseded appends/
+    // replacements never cross into Python -- the export loop, window
+    // gather and deferred tracebacks all shrink to survivors.  The
+    // first occurrence keeps its kind (an append superseded by a
+    // replace must still APPEND at its list position) and position in
+    // the list, the last occurrence supplies the payload.
+    if (e->actions.size() > 1) {
+        std::unordered_map<int64_t, size_t> at;
+        at.reserve(e->actions.size() * 2);
+        std::vector<Action> out;
+        out.reserve(e->actions.size());
+        for (auto& a : e->actions) {
+            int64_t key = ((int64_t)a.read_ord << 32)
+                          | (uint32_t)a.slot;
+            auto it = at.find(key);
+            if (it == at.end()) {
+                at.emplace(key, out.size());
+                out.push_back(a);
+            } else {
+                Action& first = out[it->second];
+                int32_t kind = first.kind;
+                int32_t fh = first.first_hit | a.first_hit;
+                first = a;
+                first.kind = kind;
+                first.first_hit = fh;
+            }
+        }
+        e->actions.swap(out);
+    }
+    return (int32_t)e->actions.size();
 }
 
 // export actions: fixed int32 fields [n,14] + int64 window offsets [n,2]
