@@ -70,6 +70,13 @@ _state = {
 _lock = threading.Lock()
 
 
+def _cpu_now() -> float:
+    """Process CPU seconds (user+sys, all threads)."""
+    import resource
+    r = resource.getrusage(resource.RUSAGE_SELF)
+    return r.ru_utime + r.ru_stime
+
+
 def log(msg):
     print("[bench %6.1fs] %s" % (time.time() - T0, msg), file=sys.stderr,
           flush=True)
@@ -108,6 +115,14 @@ def emit(partial: bool):
         split = _state.get("stage_split")
         if split:
             out["stage_split_all_passes_sec"] = split
+        # CPU saturation evidence: process CPU seconds per measured
+        # pass vs wall.  cpu/wall ~= n_cores means the host is the
+        # floor (the device is hidden), not the link or the chip.
+        cpu = _state.get("pass_cpu_secs")
+        if cpu and psecs:
+            out["pass_cpu_over_wall"] = [
+                round(c / s, 2) for c, s in zip(cpu, psecs)]
+            out["n_host_cores"] = os.cpu_count()
         if partial:
             out["partial"] = True
             out["stage"] = _state["stage"]
@@ -283,6 +298,7 @@ def main():
     n = len(ctx.reads)
     done = 0
     t_align = 0.0
+    _state["cpu_at_align_start"] = _cpu_now()
     first_chunk = min(CHUNK0, CHUNK)
     while done < n:
         hi = min(done + (first_chunk if done == 0 else CHUNK), n)
@@ -320,6 +336,8 @@ def main():
     if done == n:
         with _lock:
             _state["pass_secs"].append(t_align)
+            _state["pass_cpu_secs"] = [_cpu_now() - _state.get(
+                "cpu_at_align_start", 0.0)]
     if done == n:
         max_passes = int(os.environ.get("BENCH_PASSES", "3"))
         while passes < max_passes \
@@ -329,8 +347,10 @@ def main():
             # drain the overlap pipeline (measured ~2.5K reads/s)
             sctx = slice_ctx(0, n, fresh=True)
             t = time.time()
+            c0 = _cpu_now()
             run_align(sctx, sw_backend=backend)
             t_pass = time.time() - t
+            c_pass = _cpu_now() - c0
             pass_states = sctx.states
             if time.time() - T0 > HARD_EXIT_S - 30:
                 log("pass %d ran into the hard-exit margin" % (passes + 1))
@@ -338,6 +358,7 @@ def main():
             n_hit = sum(1 for s in pass_states if s.is_hit)
             with _lock:
                 _state["pass_secs"].append(t_pass)
+                _state["pass_cpu_secs"].append(c_pass)
             log("pass %d: %.2fs (%.0f reads/s), %d aligned"
                 % (passes, t_pass, n / t_pass, n_hit))
             if n_hit != best_aligned:

@@ -517,16 +517,28 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     spans = [(cuts[i], cuts[i + 1]) for i in range(k)
              if cuts[i] < cuts[i + 1]]
     k = len(spans)
+    nworkers = int(os.environ.get("SMR_OVERLAP_THREADS", "1"))
+    # Thread-parallel schedulers measured SLOWER than the single-thread
+    # interleave on the bench host (A/B adjacent runs: interleave 47.5K
+    # vs 2 pump workers 42.7K reads/s; 2 full workers 33.8K) -- the
+    # residual idle (cpu/wall ~1.15 of 2 cores) survives every
+    # python-thread scheme, consistent with the tunnel client holding
+    # the GIL during dispatch/transfer waits.  Both knobs stay for
+    # experiments; default is the interleave.
+    n_pump = int(os.environ.get("SMR_PUMP_WORKERS", "0")) \
+        if nworkers <= 1 else 0
+    # with concurrent pump workers each pump runs single-threaded
+    # internally (worker-level parallelism replaces stage-level)
+    tov = 1 if n_pump > 1 else None
     drvs = [NativePartDriver(part, ctx, opts, batch, states[lo:hi],
                              skiplengths, states_fresh=states_fresh,
-                             lo=lo, hi=hi)
+                             lo=lo, hi=hi, threads_override=tov)
             for lo, hi in spans]
     # NOTE a thread-per-half variant (each half blocking on its own
     # batch_coords) was measured SLOWER than this interleaved
     # async-submit scheduler (39.6K vs 44.4K reads/s, adjacent runs):
     # the explicit submit/fetch split keeps both halves' waves in
     # flight, while thread-per-half serializes on each blocking fetch.
-    nworkers = int(os.environ.get("SMR_OVERLAP_THREADS", "1"))
     try:
         if nworkers > 1:
             # Worker-pool scheduler: each worker drives whole slices
@@ -567,6 +579,52 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                 t.join()
             if errs:
                 raise errs[0]
+        elif n_pump > 0:
+            # Pipelined scheduler: n_pump helper threads run the native
+            # pumps CONCURRENTLY (trav_pump releases the GIL; with >1
+            # workers each pump is internally single-threaded, so
+            # worker-level parallelism covers the pump's serial stages
+            # too), while the main thread does the GIL-bound stages
+            # (submit fill, device fetch, post).  Slices cycle
+            # pump -> submit -> fetch -> post independently, so pumps
+            # overlap other slices' device/GIL stages.  Results are
+            # byte-identical: slices never interact and each slice's
+            # stage order is preserved.
+            from concurrent.futures import ThreadPoolExecutor
+            hands = [None] * k
+            futs = [None] * k
+            live = k
+            with ThreadPoolExecutor(n_pump) as ex:
+                for i in range(k):
+                    futs[i] = ex.submit(drvs[i].pump_jobs)
+                while live:
+                    progressed = False
+                    for i in range(k):
+                        if futs[i] is not None and futs[i].done():
+                            jb = futs[i].result()
+                            futs[i] = None
+                            if jb is None:
+                                live -= 1
+                            else:
+                                hands[i] = \
+                                    backend.batch_coords_submit(*jb)
+                            progressed = True
+                        elif hands[i] is not None:
+                            res = backend.batch_coords_fetch(hands[i])
+                            hands[i] = None
+                            drvs[i].post(res)
+                            futs[i] = ex.submit(drvs[i].pump_jobs)
+                            progressed = True
+                    if not progressed:
+                        # every slice is pump-pending; wait for the
+                        # FIRST pump to finish (not an arbitrary one --
+                        # blocking on a queued-last future serializes
+                        # the whole pipeline behind it)
+                        from concurrent.futures import (FIRST_COMPLETED,
+                                                        wait as _wait)
+                        pending = [f for f in futs if f is not None]
+                        if pending:
+                            _wait(pending, return_when=FIRST_COMPLETED)
         else:
             hands = [None] * k
 

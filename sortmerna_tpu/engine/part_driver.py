@@ -78,7 +78,8 @@ class NativePartDriver:
     def __init__(self, part, ctx: PartContext, opts: Opts,
                  batch, states: List[ReadState],
                  skiplengths, states_fresh: bool = False,
-                 lo: int = 0, hi: int = None):
+                 lo: int = 0, hi: int = None,
+                 threads_override: int = None):
         self.lib = native.get_lib()
         assert self.lib is not None
         self.ctx = ctx
@@ -182,7 +183,8 @@ class NativePartDriver:
             len(pbufs[0]), len(pbufs[2]), len(pbufs[5]), len(pbufs[9]),
             len(pbufs[12]),
             opts.minoccur, int(opts.is_full_search),
-            max(1, getattr(opts, "threads", 1)),
+            max(1, threads_override if threads_override is not None
+                else getattr(opts, "threads", 1)),
             opts.num_alignments, int(opts.is_best), opts.num_seeds,
             opts.min_lis, opts.edges, int(opts.is_as_percent),
             opts.match, int(ctx.minimal_score), ctx.lnwin,
