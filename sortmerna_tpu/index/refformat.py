@@ -23,9 +23,10 @@ at load (reference ids are arbitrary CMPH values; they are remapped to
 the sorted-18-mer ranks the dense tables require, which is behaviorally
 neutral -- candidate ordering keys on (frequency, sequence number),
 alignment.cpp:143-148).  ``write_reference_index`` produces the same
-format from a fasta (flat one-level tries -- the loader accepts any
-valid trie shape), giving round-trip coverage and workdir portability
-in both directions.
+format from a fasta, replaying the reference's incremental-burst trie
+insertion so the produced bytes match the real binary's output
+bit-for-bit (see ``_build_trie``), giving round-trip coverage and
+workdir portability in both directions.
 """
 
 from __future__ import annotations
