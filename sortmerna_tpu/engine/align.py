@@ -495,12 +495,13 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
 
     # Split count trades finer host/device interleave (each sub-range's
     # FIRST wave is the big one; smaller slices expose less device wait
-    # behind too little host work) against per-driver overhead and more
-    # device dispatches (~30-45ms each through the tunnel).  Measured on
-    # the 2-core bench host at 100K reads: 2 -> 40.6K reads/s (device
-    # wait ~0.8s/pass exposed), 4 -> 47K, 8 -> 54K, 12-16 -> 52-57K
-    # (sw_fetch collapses to ~0.1s/pass), 24 -> regresses on per-driver
-    # overhead.  Default 12 sits on the plateau.
+    # behind too little host work) against per-driver overhead.  Device
+    # dispatches no longer scale with the split -- the grouped
+    # interleave below concatenates SMR_WAVE_GROUP slices' waves into
+    # one submit -- so finer splits now keep paying off: measured on
+    # the 2-core bench host at 100K reads (grp 4, one link phase):
+    # 12 -> 37.7K reads/s, 16 -> 41-41.5K, 20 -> 43.2K, 24 -> 39.6-48.5K,
+    # 28 -> 42.6K, 32 -> regresses on per-driver overhead.  Default 24.
     k_env = os.environ.get("SMR_OVERLAP_SPLIT")
     if k_env is not None:
         k = int(k_env)
@@ -509,7 +510,7 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
         # hide); on the CPU backend extra waves are pure overhead
         try:
             import jax
-            k = 12 if jax.default_backend() != "cpu" else 2
+            k = 24 if jax.default_backend() != "cpu" else 2
         except Exception:
             k = 2
     k = max(2, min(k, 32))
@@ -626,25 +627,68 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                         if pending:
                             _wait(pending, return_when=FIRST_COMPLETED)
         else:
-            hands = [None] * k
+            # Grouped interleave (default): same per-slice pump/post
+            # order as a plain interleave, but up to SMR_WAVE_GROUP
+            # slices' waves concatenate into ONE device submit.
+            # Through the tunnel each dispatch costs ~30-45ms of
+            # GIL-held wall in degraded link phases (measured: 4.6s of
+            # sw_submit across ~120 calls at split 12), so dispatch
+            # COUNT -- not device compute -- sets the bad-phase floor.
+            # Coord offsets are absolute into buffers shared by every
+            # slice of a strand (q_data is f04/r04, refs_data is the
+            # part concat), so grouping is a pure np.concatenate of the
+            # small coord arrays; results scatter back by per-slice job
+            # counts.  Byte-identical: slices never interact and each
+            # slice's in-order pass sequence is preserved.
+            import numpy as _np
+            grp = max(1, int(os.environ.get("SMR_WAVE_GROUP", "4")))
+            pend: dict = {}     # slice -> job tuple awaiting submit
+            flight: list = []   # (handle, [(slice, n_jobs), ...])
 
-            def advance(i):
+            def pump(i):
                 jb = drvs[i].pump_jobs()
-                hands[i] = None if jb is None else \
-                    backend.batch_coords_submit(*jb)
+                if jb is not None:
+                    pend[i] = jb
+
+            def flush(force):
+                by_q: dict = {}
+                for i in sorted(pend):
+                    by_q.setdefault(id(pend[i][0]), []).append(i)
+                for ids in by_q.values():
+                    j0 = 0
+                    while len(ids) - j0 >= grp or (force and j0 < len(ids)):
+                        mem = ids[j0:j0 + grp]
+                        j0 += len(mem)
+                        jbs = [pend.pop(i) for i in mem]
+                        if len(jbs) == 1:
+                            h = backend.batch_coords_submit(*jbs[0])
+                        else:
+                            cat = [_np.concatenate([jb[c] for jb in jbs])
+                                   for c in (1, 2, 4, 5, 6)]
+                            h = backend.batch_coords_submit(
+                                jbs[0][0], cat[0], cat[1], jbs[0][3],
+                                cat[2], cat[3], cat[4])
+                        flight.append(
+                            (h, [(i, len(jb[1]))
+                                 for i, jb in zip(mem, jbs)]))
 
             for i in range(k):
-                advance(i)
-            while True:
-                progressed = False
-                for i in range(k):
-                    if hands[i] is not None:
-                        res = backend.batch_coords_fetch(hands[i])
-                        drvs[i].post(res)
-                        advance(i)
-                        progressed = True
-                if not progressed:
-                    break
+                pump(i)
+                if len(pend) >= grp:
+                    flush(force=False)
+            flush(force=True)
+            while flight or pend:
+                if not flight:
+                    flush(force=True)
+                    continue
+                h, mem = flight.pop(0)
+                res = backend.batch_coords_fetch(h)
+                o = 0
+                for i, ni in mem:
+                    drvs[i].post(tuple(a[o:o + ni] for a in res))
+                    o += ni
+                    pump(i)
+                flush(force=not flight)
         for (lo, hi), drv in zip(spans, drvs):
             drv.finish(states[lo:hi], readstats)
     finally:
