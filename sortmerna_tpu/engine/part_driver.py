@@ -51,10 +51,12 @@ class WinStore:
 
 
 def _part_probe_bufs(part):
-    """The 22 probe-table buffers in driver slot order, cached on the
+    """The 20 probe-table buffers in driver slot order, cached on the
     part (identical across batches/strands)."""
     cached = getattr(part, "_drv_bufs", None)
     if cached is None:
+        from ..ops.seed_probe import fused_scan_tables
+        f_ti, r_ti = fused_scan_tables(part)
         cached = [np.ascontiguousarray(a) for a in (
             part.f_exact_keys, part.f_exact_vals,
             part.f_pref_keys, part.f_pref_start, part.f_pref_count,
@@ -63,8 +65,8 @@ def _part_probe_bufs(part):
             part.r_pref_keys, part.r_pref_start, part.r_pref_count,
             part.k19_keys, part.k19_vals,
             part.r_ids, part.kmer_counts,
-            part.f19_offsets, part.f19_tails, part.f19_ids,
-            part.r19_offsets, part.r19_tails, part.r19_ids)]
+            part.f19_offsets, f_ti,
+            part.r19_offsets, r_ti)]
         part._drv_bufs = cached
     return cached
 

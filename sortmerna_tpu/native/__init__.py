@@ -175,7 +175,7 @@ def _build() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p] * 3 + [ctypes.c_int64]                # rp
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # k19
         + [ctypes.c_void_p, ctypes.c_void_p]                      # r_ids, counts
-        + [ctypes.c_void_p] * 6                                   # scan tables
+        + [ctypes.c_void_p] * 4                                   # scan tables
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]      # windows
         + [ctypes.c_int32, ctypes.c_int32]
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]

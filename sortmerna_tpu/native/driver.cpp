@@ -39,8 +39,8 @@ enum Buf {
     B_RX_K, B_RX_S, B_RX_C, B_RX_Z,
     B_RP_K, B_RP_S, B_RP_C,
     B_K19_K, B_K19_V, B_R_IDS, B_COUNTS9,
-    B_F19_OFF, B_F19_TAILS, B_F19_IDS,
-    B_R19_OFF, B_R19_TAILS, B_R19_IDS,
+    B_F19_OFF, B_F19_TI,
+    B_R19_OFF, B_R19_TI,
     B_POS_OFF, B_POS_SEQ, B_POS_POS, B_REFS_DATA, B_REFS_OFF,
     B_READS_OFF, B_F03, B_R03, B_F04, B_R04,
     B_STATE5, B_HIT_SEEDS, B_IS_DONE,
@@ -246,11 +246,9 @@ static void run_pass_prefix(Driver* d) {
                 (const uint32_t*)d->bufs[B_R_IDS],
                 (const uint32_t*)d->bufs[B_COUNTS9],
                 (const uint32_t*)d->bufs[B_F19_OFF],
-                (const uint32_t*)d->bufs[B_F19_TAILS],
-                (const uint32_t*)d->bufs[B_F19_IDS],
+                (const uint64_t*)d->bufs[B_F19_TI],
                 (const uint32_t*)d->bufs[B_R19_OFF],
-                (const uint32_t*)d->bufs[B_R19_TAILS],
-                (const uint32_t*)d->bufs[B_R19_IDS],
+                (const uint64_t*)d->bufs[B_R19_TI],
                 d->w1v.data(), d->w2v.data(), nw,
                 (int32_t)d->ip[P_MINOCCUR],
                 (int32_t)d->ip[P_FULL_SEARCH],

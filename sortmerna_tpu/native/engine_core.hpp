@@ -199,10 +199,8 @@ int64_t probe_windows(
     int64_t rp_n,
     const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
     const uint32_t* r_ids, const uint32_t* counts9,
-    const uint32_t* f19_off, const uint32_t* f19_tails,
-    const uint32_t* f19_ids,
-    const uint32_t* r19_off, const uint32_t* r19_tails,
-    const uint32_t* r19_ids,
+    const uint32_t* f19_off, const uint64_t* f19_ti,
+    const uint32_t* r19_off, const uint64_t* r19_ti,
     const int64_t* w1a, const int64_t* w2a, int64_t nw,
     int32_t minoccur, int32_t full_search,
     int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads,

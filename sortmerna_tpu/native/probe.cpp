@@ -68,11 +68,12 @@ struct Tables {
     const uint64_t* k19_k; const uint32_t* k19_v; int64_t k19_n;
     const uint32_t* r_ids;
     const uint32_t* counts9;
-    // bucket-scan tables (unique (L+1)-mers per half key)
-    const uint32_t* f19_off; const uint32_t* f19_tails;
-    const uint32_t* f19_ids;
-    const uint32_t* r19_off; const uint32_t* r19_tails;
-    const uint32_t* r19_ids;
+    // bucket-scan tables (unique (L+1)-mers per half key).  Payload is
+    // INTERLEAVED (tail << 32 | id) so one bucket entry touches one
+    // cache-line stream instead of two -- the scan is memory-latency
+    // bound and small buckets usually fit a single line this way.
+    const uint32_t* f19_off; const uint64_t* f19_ti;
+    const uint32_t* r19_off; const uint64_t* r19_ti;
 };
 
 static inline void add_id(std::vector<int64_t>& ids, int64_t v) {
@@ -129,10 +130,8 @@ static void probe_range(
         if (w + 8 < hi) {
             uint64_t nw1 = (uint64_t)w1a[w + 8];
             uint64_t nw2 = (uint64_t)w2a[w + 8];
-            __builtin_prefetch(&t.f19_tails[t.f19_off[nw1]]);
-            __builtin_prefetch(&t.f19_ids[t.f19_off[nw1]]);
-            __builtin_prefetch(&t.r19_tails[t.r19_off[nw2]]);
-            __builtin_prefetch(&t.r19_ids[t.r19_off[nw2]]);
+            __builtin_prefetch(&t.f19_ti[t.f19_off[nw1]]);
+            __builtin_prefetch(&t.r19_ti[t.r19_off[nw2]]);
         }
         uint64_t w1 = (uint64_t)w1a[w];
         uint64_t w2 = (uint64_t)w2a[w];
@@ -147,13 +146,14 @@ static void probe_range(
             if (b1 - b0 <= SCAN_MAX) {
                 // bucket scan with the closed-form acceptance
                 for (uint32_t e = b0; e < b1; ++e) {
-                    int r = accept_tail_c<PW>(t.f19_tails[e],
+                    uint64_t ti = t.f19_ti[e];
+                    int r = accept_tail_c<PW>((uint32_t)(ti >> 32),
                                               (uint32_t)w2);
                     if (r == 2 && !full_search) {
-                        single = (int64_t)t.f19_ids[e];
+                        single = (int64_t)(uint32_t)ti;
                         break;
                     }
-                    if (r) add_id(ids, t.f19_ids[e]);
+                    if (r) add_id(ids, (int64_t)(uint32_t)ti);
                 }
             } else {
                 // probe enumeration (hot bucket)
@@ -215,13 +215,14 @@ static void probe_range(
             bool zero_b = false;
             if (b1 - b0 <= SCAN_MAX) {
                 for (uint32_t e = b0; e < b1; ++e) {
-                    int r = accept_tail_c<PW>(t.r19_tails[e],
+                    uint64_t ti = t.r19_ti[e];
+                    int r = accept_tail_c<PW>((uint32_t)(ti >> 32),
                                               (uint32_t)p_r);
                     if (r == 2 && !full_search) {
                         zero_b = true;
                         break;
                     }
-                    if (r) add_id(ids, t.r19_ids[e]);
+                    if (r) add_id(ids, (int64_t)(uint32_t)ti);
                 }
             } else {
                 if (!full_search) {
@@ -334,10 +335,8 @@ int64_t probe_windows(
     int64_t rp_n,
     const uint64_t* k19_k, const uint32_t* k19_v, int64_t k19_n,
     const uint32_t* r_ids, const uint32_t* counts9,
-    const uint32_t* f19_off, const uint32_t* f19_tails,
-    const uint32_t* f19_ids,
-    const uint32_t* r19_off, const uint32_t* r19_tails,
-    const uint32_t* r19_ids,
+    const uint32_t* f19_off, const uint64_t* f19_ti,
+    const uint32_t* r19_off, const uint64_t* r19_ti,
     const int64_t* w1a, const int64_t* w2a, int64_t nw,
     int32_t minoccur, int32_t full_search,
     int64_t* out_win, int64_t* out_id, int64_t cap, int32_t threads,
@@ -348,7 +347,7 @@ int64_t probe_windows(
     Tables t{fx_k, fx_v, fx_n, fp_k, fp_s, fp_c, fp_n,
              rx_k, rx_s, rx_c, rx_z, rx_n, rp_k, rp_s, rp_c, rp_n,
              k19_k, k19_v, k19_n, r_ids, counts9,
-             f19_off, f19_tails, f19_ids, r19_off, r19_tails, r19_ids};
+             f19_off, f19_ti, r19_off, r19_ti};
     int nt = threads < 1 ? 1 : threads;
     if ((int64_t)nt > nw) nt = nw > 0 ? (int)nw : 1;
     std::vector<std::vector<std::pair<int64_t, int64_t>>> outs(nt);

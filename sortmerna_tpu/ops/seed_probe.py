@@ -93,6 +93,22 @@ def ins9_variants_vec(p: np.ndarray, pw: int = 9) -> np.ndarray:
     return out
 
 
+def fused_scan_tables(part):
+    """Interleaved (tail << 32 | id) uint64 bucket payloads for the
+    native probe kernel, cached on the part.  One bucket entry then
+    touches one cache-line stream instead of two (the scan is
+    memory-latency bound)."""
+    cached = getattr(part, "_fused_ti", None)
+    if cached is None:
+        f_ti = ((part.f19_tails.astype(np.uint64) << np.uint64(32))
+                | part.f19_ids.astype(np.uint64))
+        r_ti = ((part.r19_tails.astype(np.uint64) << np.uint64(32))
+                | part.r19_ids.astype(np.uint64))
+        cached = (np.ascontiguousarray(f_ti), np.ascontiguousarray(r_ti))
+        part._fused_ti = cached
+    return cached
+
+
 class SeedSearcher:
     """Probes one IndexPart for batches of read windows.
 
@@ -113,6 +129,7 @@ class SeedSearcher:
             from .. import native
             self._lib = native.get_lib()
             if self._lib is not None:
+                f_ti, r_ti = fused_scan_tables(part)
                 self._cbufs = [np.ascontiguousarray(a) for a in (
                     part.f_exact_keys, part.f_exact_vals,
                     part.f_pref_keys, part.f_pref_start, part.f_pref_count,
@@ -121,8 +138,8 @@ class SeedSearcher:
                     part.r_pref_keys, part.r_pref_start, part.r_pref_count,
                     part.k19_keys, part.k19_vals,
                     part.r_ids, part.kmer_counts,
-                    part.f19_offsets, part.f19_tails, part.f19_ids,
-                    part.r19_offsets, part.r19_tails, part.r19_ids)]
+                    part.f19_offsets, f_ti,
+                    part.r19_offsets, r_ti)]
 
     def search_windows(self, w1: np.ndarray, w2: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
@@ -133,7 +150,7 @@ class SeedSearcher:
     def _search_native(self, w1, w2):
         (fxk, fxv, fpk, fps, fpc, rxk, rxs, rxc, rxz, rpk, rps, rpc,
          k19k, k19v, rids, cnts,
-         f19o, f19t, f19i, r19o, r19t, r19i) = self._cbufs
+         f19o, f19ti, r19o, r19ti) = self._cbufs
         w1 = np.ascontiguousarray(w1, np.int64)
         w2 = np.ascontiguousarray(w2, np.int64)
         nw = len(w1)
@@ -151,8 +168,8 @@ class SeedSearcher:
                 len(rpk),
                 k19k.ctypes.data, k19v.ctypes.data, len(k19k),
                 rids.ctypes.data, cnts.ctypes.data,
-                f19o.ctypes.data, f19t.ctypes.data, f19i.ctypes.data,
-                r19o.ctypes.data, r19t.ctypes.data, r19i.ctypes.data,
+                f19o.ctypes.data, f19ti.ctypes.data,
+                r19o.ctypes.data, r19ti.ctypes.data,
                 w1.ctypes.data, w2.ctypes.data, nw,
                 self.minoccur, int(self.full_search),
                 out_win.ctypes.data, out_id.ctypes.data, cap,
