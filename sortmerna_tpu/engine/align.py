@@ -531,6 +531,8 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
     # with concurrent pump workers each pump runs single-threaded
     # internally (worker-level parallelism replaces stage-level)
     tov = 1 if n_pump > 1 else None
+    finished = [False] * k      # slices exported early by the grouped
+                                # interleave (skipped in the final sweep)
     drvs = [NativePartDriver(part, ctx, opts, batch, states[lo:hi],
                              skiplengths, states_fresh=states_fresh,
                              lo=lo, hi=hi, threads_override=tov)
@@ -649,6 +651,13 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                 jb = drvs[i].pump_jobs()
                 if jb is not None:
                     pend[i] = jb
+                else:
+                    # slice complete: export its state/actions NOW so
+                    # this host work fills other groups' device time
+                    # instead of running serially after the drain
+                    lo_, hi_ = spans[i]
+                    drvs[i].finish(states[lo_:hi_], readstats)
+                    finished[i] = True
 
             def flush(force):
                 by_q: dict = {}
@@ -672,25 +681,72 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                             (h, [(i, len(jb[1]))
                                  for i, jb in zip(mem, jbs)]))
 
-            for i in range(k):
-                pump(i)
-                if len(pend) >= grp:
-                    flush(force=False)
-            flush(force=True)
-            while flight or pend:
-                if not flight:
-                    flush(force=True)
-                    continue
-                h, mem = flight.pop(0)
-                res = backend.batch_coords_fetch(h)
-                o = 0
-                for i, ni in mem:
-                    drvs[i].post(tuple(a[o:o + ni] for a in res))
-                    o += ni
+            if int(os.environ.get("SMR_PUMP_HELPER", "0")):
+                # Async-pump variant: ONE helper thread runs the native
+                # pumps (trav_pump is a ctypes call -- the GIL is
+                # released for the whole C++ stage), so the pump keeps
+                # running during precisely the windows the main
+                # thread's tunnel dispatch/fetch holds the GIL.  Posts,
+                # submits, fetches and exports stay on the main thread;
+                # each slice's post happens-before its next pump, so
+                # per-slice order (and byte-identity) is preserved.
+                # MEASURED SLOWER on the 2-core bench host (38-39K vs
+                # 45K reads/s, adjacent runs): the helper contends with
+                # the pump's internal probe threads for the two cores.
+                # Kept opt-in for hosts with spare cores.
+                from concurrent.futures import (FIRST_COMPLETED,
+                                                ThreadPoolExecutor,
+                                                wait as _wait)
+                with ThreadPoolExecutor(1) as ex:
+                    futs = {i: ex.submit(drvs[i].pump_jobs)
+                            for i in range(k)}
+                    while futs or flight or pend:
+                        moved = False
+                        for i in [i for i, f in futs.items()
+                                  if f.done()]:
+                            jb = futs.pop(i).result()
+                            moved = True
+                            if jb is None:
+                                lo_, hi_ = spans[i]
+                                drvs[i].finish(states[lo_:hi_],
+                                               readstats)
+                                finished[i] = True
+                            else:
+                                pend[i] = jb
+                        flush(force=not flight and not futs)
+                        if flight:
+                            h, mem = flight.pop(0)
+                            res = backend.batch_coords_fetch(h)
+                            o = 0
+                            for i, ni in mem:
+                                drvs[i].post(
+                                    tuple(a[o:o + ni] for a in res))
+                                o += ni
+                                futs[i] = ex.submit(drvs[i].pump_jobs)
+                        elif futs and not moved:
+                            _wait(list(futs.values()),
+                                  return_when=FIRST_COMPLETED)
+            else:
+                for i in range(k):
                     pump(i)
-                flush(force=not flight)
-        for (lo, hi), drv in zip(spans, drvs):
-            drv.finish(states[lo:hi], readstats)
+                    if len(pend) >= grp:
+                        flush(force=False)
+                flush(force=True)
+                while flight or pend:
+                    if not flight:
+                        flush(force=True)
+                        continue
+                    h, mem = flight.pop(0)
+                    res = backend.batch_coords_fetch(h)
+                    o = 0
+                    for i, ni in mem:
+                        drvs[i].post(tuple(a[o:o + ni] for a in res))
+                        o += ni
+                        pump(i)
+                    flush(force=not flight)
+        for i, ((lo, hi), drv) in enumerate(zip(spans, drvs)):
+            if not finished[i]:
+                drv.finish(states[lo:hi], readstats)
     finally:
         for drv in drvs:
             drv.close()

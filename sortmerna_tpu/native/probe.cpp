@@ -113,6 +113,12 @@ static void probe_range(
     constexpr int H = 2 * PW;               // bits per half
     std::vector<int64_t> ids;
     ids.reserve(256);
+    // With the default minoccur == 0 the occurrence gate is equivalent
+    // to bucket-nonemptiness (a non-empty f19/r19 bucket implies the
+    // half-mer occurs, and an empty bucket makes the subsearch a no-op
+    // either way), so the two random counts9 loads per window are
+    // skipped entirely.
+    const bool use_cnt = minoccur > 0;
 
     for (int64_t w = lo; w < hi; ++w) {
         // the loop is memory-latency bound (4-6 dependent random
@@ -122,8 +128,10 @@ static void probe_range(
         if (w + 16 < hi) {
             uint64_t nw1 = (uint64_t)w1a[w + 16];
             uint64_t nw2 = (uint64_t)w2a[w + 16];
-            __builtin_prefetch(&t.counts9[nw1]);
-            __builtin_prefetch(&t.counts9[nw2]);
+            if (use_cnt) {
+                __builtin_prefetch(&t.counts9[nw1]);
+                __builtin_prefetch(&t.counts9[nw2]);
+            }
             __builtin_prefetch(&t.f19_off[nw1]);
             __builtin_prefetch(&t.r19_off[nw2]);
         }
@@ -135,8 +143,8 @@ static void probe_range(
         }
         uint64_t w1 = (uint64_t)w1a[w];
         uint64_t w2 = (uint64_t)w2a[w];
-        bool gate_f = t.counts9[w1] > (uint32_t)minoccur;
-        bool gate_r = t.counts9[w2] > (uint32_t)minoccur;
+        bool gate_f = !use_cnt || t.counts9[w1] > (uint32_t)minoccur;
+        bool gate_r = !use_cnt || t.counts9[w2] > (uint32_t)minoccur;
         ids.clear();
         int64_t single = -1;
 
