@@ -23,6 +23,7 @@ known score' semantics expressed as masked updates.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -338,12 +339,19 @@ class JaxSwBackend:
     # rewards large blocks.
     _LEN_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
                    65536)
-    BLOCK = 4096
-    # per-block cell budget rows*(lq+lr): full 4096-row blocks up to
-    # 1024-char tiles; 30K-nt (32768-bucket) jobs drop to 64 rows --
+    # Block size is a dispatch-count / pipeline-granularity tradeoff:
+    # 8192-row blocks halve the per-wave dispatch count but were
+    # measured consistently SLOWER end-to-end (42K vs 47-49K reads/s,
+    # warm cache) -- coarser blocks delay the first results of every
+    # wave and the grouped scheduler loses post/pump overlap.  4096
+    # stands; SMR_SW_BLOCK overrides for re-tuning on other links.
+    BLOCK = int(os.environ.get("SMR_SW_BLOCK", "4096"))
+    # per-block cell budget rows*(lq+lr): full blocks up to ~1024-char
+    # tiles; 30K-nt (32768-bucket) jobs drop to 64 rows --
     # (256, 32768, 32768) was measured to crash the TPU worker (working
-    # set ~170MB/op), (64, 32768, 32768) computes fine
-    BLOCK_CELLS = 4 << 20
+    # set ~170MB/op), (64, 32768, 32768) computes fine.  Scales with
+    # BLOCK so the row ladder keeps the same per-length proportions.
+    BLOCK_CELLS = BLOCK * 1024
 
     @classmethod
     def _len_bucket(cls, n: int) -> int:
@@ -354,7 +362,7 @@ class JaxSwBackend:
 
     @classmethod
     def _min_block(cls, n: int) -> int:
-        for b in (64, 256, 1024, cls.BLOCK):
+        for b in (64, 256, 1024, 4096, cls.BLOCK):
             if n <= b:
                 return b
         return cls.BLOCK
