@@ -339,7 +339,11 @@ def main():
             _state["pass_cpu_secs"] = [_cpu_now() - _state.get(
                 "cpu_at_align_start", 0.0)]
     if done == n:
-        max_passes = int(os.environ.get("BENCH_PASSES", "3"))
+        # 6 passes (was 3): passes are cheap in good link phases (~35s)
+        # and the deadline guard already stops early in bad ones, so a
+        # higher cap samples more phases; every pass's rate and the
+        # median are recorded alongside the best (VERDICT r4 item 6)
+        max_passes = int(os.environ.get("BENCH_PASSES", "6"))
         while passes < max_passes \
                 and time.time() - T0 < HARD_EXIT_S - 40 - best_align * 2:
             # extra passes run the whole set as ONE chunk: chunk-level
