@@ -726,6 +726,94 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                         elif futs and not moved:
                             _wait(list(futs.values()),
                                   return_when=FIRST_COMPLETED)
+            elif int(os.environ.get("SMR_GROUP_WORKERS", "1")) > 1:
+                # Symmetric grouped workers: slices partition
+                # round-robin across W threads, each running the full
+                # grouped loop (pump/submit/fetch/post) over its own
+                # slices with worker-local queues.  One worker's
+                # GIL-free C stages (ctypes pump, fetch transfer waits)
+                # overlap the others' GIL-bound glue; finish/readstats
+                # updates serialize on a lock.  Byte-identity holds:
+                # slices never interact and each slice's order is
+                # preserved within its worker.
+                import threading as _threading
+                nwork = int(os.environ.get("SMR_GROUP_WORKERS", "1"))
+                fin_lock = _threading.Lock()
+                errs: list = []
+
+                def worker(slice_ids):
+                    wpend: dict = {}
+                    wflight: list = []
+
+                    def wpump(i):
+                        jb = drvs[i].pump_jobs()
+                        if jb is not None:
+                            wpend[i] = jb
+                        else:
+                            lo_, hi_ = spans[i]
+                            with fin_lock:
+                                drvs[i].finish(states[lo_:hi_],
+                                               readstats)
+                                finished[i] = True
+
+                    def wflush(force):
+                        by_q: dict = {}
+                        for i in sorted(wpend):
+                            by_q.setdefault(id(wpend[i][0]),
+                                            []).append(i)
+                        for ids in by_q.values():
+                            j0 = 0
+                            while (len(ids) - j0 >= grp
+                                   or (force and j0 < len(ids))):
+                                mem = ids[j0:j0 + grp]
+                                j0 += len(mem)
+                                jbs = [wpend.pop(i) for i in mem]
+                                if len(jbs) == 1:
+                                    h = backend.batch_coords_submit(
+                                        *jbs[0])
+                                else:
+                                    cat = [_np.concatenate(
+                                        [jb[c] for jb in jbs])
+                                        for c in (1, 2, 4, 5, 6)]
+                                    h = backend.batch_coords_submit(
+                                        jbs[0][0], cat[0], cat[1],
+                                        jbs[0][3], cat[2], cat[3],
+                                        cat[4])
+                                wflight.append(
+                                    (h, [(i, len(jb[1])) for i, jb
+                                         in zip(mem, jbs)]))
+
+                    try:
+                        for i in slice_ids:
+                            wpump(i)
+                            if len(wpend) >= grp:
+                                wflush(False)
+                        wflush(True)
+                        while wflight or wpend:
+                            if not wflight:
+                                wflush(True)
+                                continue
+                            h, mem = wflight.pop(0)
+                            res = backend.batch_coords_fetch(h)
+                            o = 0
+                            for i, ni in mem:
+                                drvs[i].post(
+                                    tuple(a[o:o + ni] for a in res))
+                                o += ni
+                                wpump(i)
+                            wflush(len(wflight) < 2)
+                    except BaseException as e:  # noqa: BLE001
+                        errs.append(e)
+
+                ths = [_threading.Thread(
+                    target=worker, args=(list(range(w, k, nwork)),))
+                    for w in range(min(nwork, k))]
+                for t in ths:
+                    t.start()
+                for t in ths:
+                    t.join()
+                if errs:
+                    raise errs[0]
             else:
                 for i in range(k):
                     pump(i)
