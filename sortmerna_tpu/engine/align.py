@@ -647,17 +647,27 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
             pend: dict = {}     # slice -> job tuple awaiting submit
             flight: list = []   # (handle, [(slice, n_jobs), ...])
 
+            def finish_slice(i):
+                # slice complete: export its state/actions NOW so this
+                # host work fills other groups' device time instead of
+                # running serially after the drain.  On the LAST
+                # (index, part) slots can no longer be replaced, so the
+                # slice's surviving tracebacks materialize here too.
+                lo_, hi_ = spans[i]
+                drvs[i].finish(states[lo_:hi_], readstats)
+                finished[i] = True
+                if ctx.is_last_index and ctx.is_last_part:
+                    from ..util import timed as _timed
+                    from .run import materialize_cigars_for
+                    with _timed("cigar_mat"):
+                        materialize_cigars_for(states[lo_:hi_], opts)
+
             def pump(i):
                 jb = drvs[i].pump_jobs()
                 if jb is not None:
                     pend[i] = jb
                 else:
-                    # slice complete: export its state/actions NOW so
-                    # this host work fills other groups' device time
-                    # instead of running serially after the drain
-                    lo_, hi_ = spans[i]
-                    drvs[i].finish(states[lo_:hi_], readstats)
-                    finished[i] = True
+                    finish_slice(i)
 
             def flush(force):
                 by_q: dict = {}
@@ -707,10 +717,7 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                             jb = futs.pop(i).result()
                             moved = True
                             if jb is None:
-                                lo_, hi_ = spans[i]
-                                drvs[i].finish(states[lo_:hi_],
-                                               readstats)
-                                finished[i] = True
+                                finish_slice(i)
                             else:
                                 pend[i] = jb
                         flush(force=not flight and not futs)
@@ -750,11 +757,8 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                         if jb is not None:
                             wpend[i] = jb
                         else:
-                            lo_, hi_ = spans[i]
                             with fin_lock:
-                                drvs[i].finish(states[lo_:hi_],
-                                               readstats)
-                                finished[i] = True
+                                finish_slice(i)
 
                     def wflush(force):
                         by_q: dict = {}

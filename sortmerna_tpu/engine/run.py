@@ -211,11 +211,20 @@ def materialize_cigars(ctx: RunContext) -> None:
     buffers (the fast path: pointer arrays into those buffers are
     computed vectorized, zero window bytes copied) or a legacy
     ``(ref_window, read_window, band)`` view triple."""
-    pend = [a for st in ctx.states for a in st.alignments
+    materialize_cigars_for(ctx.states, ctx.opts)
+
+
+def materialize_cigars_for(states, opts) -> None:
+    """materialize_cigars over an explicit read-state subset.
+
+    Also called per slice by the grouped overlap scheduler on the LAST
+    (index, part) -- slots there can no longer be replaced, so each
+    slice's tracebacks run as soon as its waves finish and overlap the
+    other slices' device time instead of draining serially afterward."""
+    pend = [a for st in states for a in st.alignments
             if a.cigar is None and a.tb is not None]
     if not pend:
         return
-    opts = ctx.opts
     mat = scoring_matrix_5x5(opts.match, opts.mismatch,
                              opts.score_n).astype(np.int64)
     from .. import native
