@@ -228,8 +228,13 @@ class NativePartDriver:
                 q_len.ctypes.data, r_off.ctypes.data,
                 r_len.ctypes.data, minimal.ctypes.data)
         assert m == n
-        q_data = self.f04 if fwd else self.r04
-        return (q_data, q_off, q_len, self.refs_data, r_off, r_len,
+        # jobs address the SHARED two-strand buffer (reverse jobs shift
+        # by the forward length), so the overlap scheduler can
+        # concatenate waves across strands into one device call
+        fr = self.batch.fr04
+        if not fwd:
+            q_off += len(fr) // 2
+        return (fr, q_off, q_len, self.refs_data, r_off, r_len,
                 minimal)
 
     def post(self, res) -> None:

@@ -174,7 +174,7 @@ class ReadBatch:
     flip34 read.cpp:379)."""
 
     __slots__ = ("n", "lens", "offs", "fwd03", "amb",
-                 "_rev03", "_fwd04", "_rev04", "_revperm")
+                 "_rev03", "_fwd04", "_rev04", "_fr04", "_revperm")
 
     def __init__(self, reads: List["ReadSeq"]):
         n = len(reads)
@@ -207,6 +207,7 @@ class ReadBatch:
         self._rev03 = None
         self._fwd04 = None
         self._rev04 = None
+        self._fr04 = None
         self._revperm = None
 
     def ensure_strands(self) -> None:
@@ -226,8 +227,14 @@ class ReadBatch:
             return
         total = int(self.offs[-1])
         rev03 = np.empty(total, np.uint8)
-        fwd04 = np.empty(total, np.uint8)
-        rev04 = np.empty(total, np.uint8)
+        # both 04 strands back onto ONE allocation (fwd = [:total],
+        # rev = [total:]): SW jobs of either strand can then address a
+        # shared buffer (q_off + total for reverse), which lets the
+        # overlap scheduler concatenate waves ACROSS strands into one
+        # device call
+        fr04 = np.empty(2 * total, np.uint8)
+        fwd04 = fr04[:total]
+        rev04 = fr04[total:]
         fwd03 = np.ascontiguousarray(self.fwd03)
         offs = np.ascontiguousarray(self.offs, np.int64)
         amb = np.ascontiguousarray(self.amb, np.int64)
@@ -236,6 +243,7 @@ class ReadBatch:
                           rev03.ctypes.data, fwd04.ctypes.data,
                           rev04.ctypes.data)
         self._rev03, self._fwd04, self._rev04 = rev03, fwd04, rev04
+        self._fr04 = fr04
 
     @property
     def revperm(self) -> np.ndarray:
@@ -267,3 +275,20 @@ class ReadBatch:
                 r[self.revperm[self.amb]] = 4
             self._rev04 = r
         return self._rev04
+
+    @property
+    def fr04(self) -> np.ndarray:
+        """Both 04 strand encodings in one contiguous buffer
+        (forward at [:total], reverse at [total:]) -- the shared
+        q_data for cross-strand SW wave grouping.  ensure_strands'
+        native path builds the 04 caches directly as views of this
+        buffer; the numpy fallback assembles it on first use."""
+        if self._fr04 is None:
+            total = int(self.offs[-1])
+            buf = np.empty(2 * total, np.uint8)
+            buf[:total] = self.concat04(True)
+            buf[total:] = self.concat04(False)
+            self._fr04 = buf
+            self._fwd04 = buf[:total]
+            self._rev04 = buf[total:]
+        return self._fr04
