@@ -835,10 +835,7 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                         drvs[i].post(tuple(a[o:o + ni] for a in res))
                         o += ni
                         pump(i)
-                    # keep >=2 waves in flight: force partial groups
-                    # out when the queue runs shallow so the device is
-                    # never idle waiting on a full group to assemble
-                    flush(force=len(flight) < 2)
+                    flush(force=int(os.environ.get("SMR_FLUSH_DEPTH", "2")) > len(flight))
         for i, ((lo, hi), drv) in enumerate(zip(spans, drvs)):
             if not finished[i]:
                 drv.finish(states[lo:hi], readstats)

@@ -48,9 +48,11 @@ def _build() -> Optional[ctypes.CDLL]:
         # instead of having its text pages rewritten under it
         tmp = so.with_suffix(".so.%d" % os.getpid())
         try:
+            extra = os.environ.get("SMR_NATIVE_CXXFLAGS", "").split()
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-pthread", "-o", str(tmp)] + [str(s) for s in srcs],
+                 "-pthread", "-o", str(tmp)] + extra
+                + [str(s) for s in srcs],
                 check=True, capture_output=True)
             os.replace(tmp, so)
         except subprocess.CalledProcessError as e:

@@ -22,6 +22,16 @@ namespace {
 
 constexpr uint64_t EMPTY_KEY = 0xFFFFFFFFFFFFFFFFull;
 constexpr int MAX_PROBES = 32;
+// Prefetch distances, swept with tools/probe_bench.py on the fused
+// tables (best-of-8 medians): 4/2 ~67ms per 2.55M windows vs 69ms at
+// 8/4 and 73ms at the old 16/8 -- with one line per bucket entry the
+// short pipeline wins; long distances thrash the small L2.
+#ifndef PF_HEAD
+#define PF_HEAD 4
+#endif
+#ifndef PF_PAY
+#define PF_PAY 2
+#endif
 constexpr uint32_t M1 = 0x9E3779B1u;
 constexpr uint32_t M2 = 0x85EBCA77u;
 
@@ -123,11 +133,12 @@ static void probe_range(
     for (int64_t w = lo; w < hi; ++w) {
         // the loop is memory-latency bound (4-6 dependent random
         // accesses into multi-MB tables per window); two-stage
-        // prefetch pipeline: gate/offset heads at +16, and at +8 the
-        // (now cached) offsets are READ to prefetch the bucket tails
-        if (w + 16 < hi) {
-            uint64_t nw1 = (uint64_t)w1a[w + 16];
-            uint64_t nw2 = (uint64_t)w2a[w + 16];
+        // prefetch pipeline: gate/offset heads at +PF_HEAD, and at
+        // +PF_PAY the (now cached) offsets are READ to prefetch the
+        // bucket payloads
+        if (w + PF_HEAD < hi) {
+            uint64_t nw1 = (uint64_t)w1a[w + PF_HEAD];
+            uint64_t nw2 = (uint64_t)w2a[w + PF_HEAD];
             if (use_cnt) {
                 __builtin_prefetch(&t.counts9[nw1]);
                 __builtin_prefetch(&t.counts9[nw2]);
@@ -135,9 +146,9 @@ static void probe_range(
             __builtin_prefetch(&t.f19_off[nw1]);
             __builtin_prefetch(&t.r19_off[nw2]);
         }
-        if (w + 8 < hi) {
-            uint64_t nw1 = (uint64_t)w1a[w + 8];
-            uint64_t nw2 = (uint64_t)w2a[w + 8];
+        if (w + PF_PAY < hi) {
+            uint64_t nw1 = (uint64_t)w1a[w + PF_PAY];
+            uint64_t nw2 = (uint64_t)w2a[w + PF_PAY];
             __builtin_prefetch(&t.f19_ti[t.f19_off[nw1]]);
             __builtin_prefetch(&t.r19_ti[t.r19_off[nw2]]);
         }
