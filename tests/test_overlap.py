@@ -52,3 +52,24 @@ def test_overlap_matches_single(subset, tmp_path, monkeypatch):
     assert single == dual
     assert rs1.num_aligned == rs2.num_aligned
     assert rs1.reads_matched_per_db == rs2.reads_matched_per_db
+
+
+@pytest.mark.parametrize("env", [
+    {"SMR_OVERLAP_SPLIT": "8", "SMR_WAVE_GROUP": "3"},
+    {"SMR_OVERLAP_SPLIT": "8", "SMR_WAVE_GROUP": "1"},
+    {"SMR_OVERLAP_SPLIT": "6", "SMR_PUMP_HELPER": "1"},
+    {"SMR_OVERLAP_SPLIT": "8", "SMR_GROUP_WORKERS": "2"},
+    {"SMR_OVERLAP_SPLIT": "8", "SMR_FLUSH_DEPTH": "1"},
+], ids=["grp3", "grp1", "helper", "workers2", "depth1"])
+def test_scheduler_variants_match(subset, tmp_path, monkeypatch, env):
+    """Every grouped-scheduler variant (group size, async pump helper,
+    symmetric workers, flush depth) must produce byte-identical
+    per-read results -- slices never interact, so the interleaving
+    must be unobservable."""
+    base, rs1 = _align(subset, tmp_path, "vbase", False, monkeypatch)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    got, rs2 = _align(subset, tmp_path, "var", True, monkeypatch)
+    assert got == base
+    assert rs1.num_aligned == rs2.num_aligned
+    assert rs1.reads_matched_per_db == rs2.reads_matched_per_db
