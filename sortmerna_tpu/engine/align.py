@@ -644,32 +644,42 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
             # slice's in-order pass sequence is preserved.
             import numpy as _np
             grp = max(1, int(os.environ.get("SMR_WAVE_GROUP", "4")))
-            pend: dict = {}     # slice -> job tuple awaiting submit
-            flight: list = []   # (handle, [(slice, n_jobs), ...])
+            # force partial groups out whenever fewer than `depth`
+            # waves are in flight, so the device is never idle waiting
+            # on a full group to assemble (1-vs-2 measured within
+            # phase noise; 2 keeps the device fed through part tails)
+            depth = int(os.environ.get("SMR_FLUSH_DEPTH", "2"))
 
-            def finish_slice(i):
+            def finish_slice(i, lock=None):
                 # slice complete: export its state/actions NOW so this
                 # host work fills other groups' device time instead of
                 # running serially after the drain.  On the LAST
                 # (index, part) slots can no longer be replaced, so the
-                # slice's surviving tracebacks materialize here too.
+                # slice's surviving tracebacks materialize here too
+                # (outside the lock -- slices are disjoint; only the
+                # shared readstats/finished updates need serializing).
                 lo_, hi_ = spans[i]
-                drvs[i].finish(states[lo_:hi_], readstats)
-                finished[i] = True
+                if lock is None:
+                    drvs[i].finish(states[lo_:hi_], readstats)
+                    finished[i] = True
+                else:
+                    with lock:
+                        drvs[i].finish(states[lo_:hi_], readstats)
+                        finished[i] = True
                 if ctx.is_last_index and ctx.is_last_part:
                     from ..util import timed as _timed
                     from .run import materialize_cigars_for
                     with _timed("cigar_mat"):
                         materialize_cigars_for(states[lo_:hi_], opts)
 
-            def pump(i):
+            def pump_into(i, pend, lock=None):
                 jb = drvs[i].pump_jobs()
                 if jb is not None:
                     pend[i] = jb
                 else:
-                    finish_slice(i)
+                    finish_slice(i, lock)
 
-            def flush(force):
+            def flush_into(pend, flight, force):
                 by_q: dict = {}
                 for i in sorted(pend):
                     by_q.setdefault(id(pend[i][0]), []).append(i)
@@ -691,6 +701,31 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                             (h, [(i, len(jb[1]))
                                  for i, jb in zip(mem, jbs)]))
 
+            def run_slices(slice_ids, lock=None):
+                # one grouped pump/submit/fetch/post loop over a set of
+                # slices with its own queues (the whole batch for the
+                # default single-thread interleave; a round-robin
+                # partition per worker under SMR_GROUP_WORKERS)
+                pend: dict = {}   # slice -> job tuple awaiting submit
+                flight: list = []  # (handle, [(slice, n_jobs), ...])
+                for i in slice_ids:
+                    pump_into(i, pend, lock)
+                    if len(pend) >= grp:
+                        flush_into(pend, flight, False)
+                flush_into(pend, flight, True)
+                while flight or pend:
+                    if not flight:
+                        flush_into(pend, flight, True)
+                        continue
+                    h, mem = flight.pop(0)
+                    res = backend.batch_coords_fetch(h)
+                    o = 0
+                    for i, ni in mem:
+                        drvs[i].post(tuple(a[o:o + ni] for a in res))
+                        o += ni
+                        pump_into(i, pend, lock)
+                    flush_into(pend, flight, depth > len(flight))
+
             if int(os.environ.get("SMR_PUMP_HELPER", "0")):
                 # Async-pump variant: ONE helper thread runs the native
                 # pumps (trav_pump is a ctypes call -- the GIL is
@@ -707,6 +742,8 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                 from concurrent.futures import (FIRST_COMPLETED,
                                                 ThreadPoolExecutor,
                                                 wait as _wait)
+                pend: dict = {}
+                flight: list = []
                 with ThreadPoolExecutor(1) as ex:
                     futs = {i: ex.submit(drvs[i].pump_jobs)
                             for i in range(k)}
@@ -720,7 +757,8 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                                 finish_slice(i)
                             else:
                                 pend[i] = jb
-                        flush(force=not flight and not futs)
+                        flush_into(pend, flight,
+                                   not flight and not futs)
                         if flight:
                             h, mem = flight.pop(0)
                             res = backend.batch_coords_fetch(h)
@@ -735,77 +773,23 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                                   return_when=FIRST_COMPLETED)
             elif int(os.environ.get("SMR_GROUP_WORKERS", "1")) > 1:
                 # Symmetric grouped workers: slices partition
-                # round-robin across W threads, each running the full
-                # grouped loop (pump/submit/fetch/post) over its own
-                # slices with worker-local queues.  One worker's
-                # GIL-free C stages (ctypes pump, fetch transfer waits)
-                # overlap the others' GIL-bound glue; finish/readstats
-                # updates serialize on a lock.  Byte-identity holds:
-                # slices never interact and each slice's order is
-                # preserved within its worker.
+                # round-robin across W threads, each running run_slices
+                # over its own queues.  One worker's GIL-free C stages
+                # (ctypes pump, fetch transfer waits) overlap the
+                # others' GIL-bound glue; finish/readstats updates
+                # serialize on a lock.  Byte-identity holds: slices
+                # never interact and each slice's order is preserved
+                # within its worker.  MEASURED NEUTRAL on the 2-core
+                # bench host (the GIL serializes the glue either way);
+                # kept opt-in for wider hosts.
                 import threading as _threading
                 nwork = int(os.environ.get("SMR_GROUP_WORKERS", "1"))
                 fin_lock = _threading.Lock()
                 errs: list = []
 
                 def worker(slice_ids):
-                    wpend: dict = {}
-                    wflight: list = []
-
-                    def wpump(i):
-                        jb = drvs[i].pump_jobs()
-                        if jb is not None:
-                            wpend[i] = jb
-                        else:
-                            with fin_lock:
-                                finish_slice(i)
-
-                    def wflush(force):
-                        by_q: dict = {}
-                        for i in sorted(wpend):
-                            by_q.setdefault(id(wpend[i][0]),
-                                            []).append(i)
-                        for ids in by_q.values():
-                            j0 = 0
-                            while (len(ids) - j0 >= grp
-                                   or (force and j0 < len(ids))):
-                                mem = ids[j0:j0 + grp]
-                                j0 += len(mem)
-                                jbs = [wpend.pop(i) for i in mem]
-                                if len(jbs) == 1:
-                                    h = backend.batch_coords_submit(
-                                        *jbs[0])
-                                else:
-                                    cat = [_np.concatenate(
-                                        [jb[c] for jb in jbs])
-                                        for c in (1, 2, 4, 5, 6)]
-                                    h = backend.batch_coords_submit(
-                                        jbs[0][0], cat[0], cat[1],
-                                        jbs[0][3], cat[2], cat[3],
-                                        cat[4])
-                                wflight.append(
-                                    (h, [(i, len(jb[1])) for i, jb
-                                         in zip(mem, jbs)]))
-
                     try:
-                        for i in slice_ids:
-                            wpump(i)
-                            if len(wpend) >= grp:
-                                wflush(False)
-                        wflush(True)
-                        while wflight or wpend:
-                            if not wflight:
-                                wflush(True)
-                                continue
-                            h, mem = wflight.pop(0)
-                            res = backend.batch_coords_fetch(h)
-                            o = 0
-                            for i, ni in mem:
-                                drvs[i].post(
-                                    tuple(a[o:o + ni] for a in res))
-                                o += ni
-                                wpump(i)
-                            wflush(len(wflight) < 2)
+                        run_slices(slice_ids, fin_lock)
                     except BaseException as e:  # noqa: BLE001
                         errs.append(e)
 
@@ -819,23 +803,7 @@ def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                 if errs:
                     raise errs[0]
             else:
-                for i in range(k):
-                    pump(i)
-                    if len(pend) >= grp:
-                        flush(force=False)
-                flush(force=True)
-                while flight or pend:
-                    if not flight:
-                        flush(force=True)
-                        continue
-                    h, mem = flight.pop(0)
-                    res = backend.batch_coords_fetch(h)
-                    o = 0
-                    for i, ni in mem:
-                        drvs[i].post(tuple(a[o:o + ni] for a in res))
-                        o += ni
-                        pump(i)
-                    flush(force=int(os.environ.get("SMR_FLUSH_DEPTH", "2")) > len(flight))
+                run_slices(range(k))
         for i, ((lo, hi), drv) in enumerate(zip(spans, drvs)):
             if not finished[i]:
                 drv.finish(states[lo:hi], readstats)

@@ -51,24 +51,10 @@ class WinStore:
 
 
 def _part_probe_bufs(part):
-    """The 20 probe-table buffers in driver slot order, cached on the
-    part (identical across batches/strands)."""
-    cached = getattr(part, "_drv_bufs", None)
-    if cached is None:
-        from ..ops.seed_probe import fused_scan_tables
-        f_ti, r_ti = fused_scan_tables(part)
-        cached = [np.ascontiguousarray(a) for a in (
-            part.f_exact_keys, part.f_exact_vals,
-            part.f_pref_keys, part.f_pref_start, part.f_pref_count,
-            part.r_exact_keys, part.r_exact_start, part.r_exact_count,
-            part.r_exact_zero,
-            part.r_pref_keys, part.r_pref_start, part.r_pref_count,
-            part.k19_keys, part.k19_vals,
-            part.r_ids, part.kmer_counts,
-            part.f19_offsets, f_ti,
-            part.r19_offsets, r_ti)]
-        part._drv_bufs = cached
-    return cached
+    """The 20 probe-table buffers in driver slot order (single source
+    of truth: ops.seed_probe.probe_table_bufs, cached on the part)."""
+    from ..ops.seed_probe import probe_table_bufs
+    return probe_table_bufs(part)
 
 
 class NativePartDriver:

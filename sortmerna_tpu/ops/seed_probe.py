@@ -93,6 +93,29 @@ def ins9_variants_vec(p: np.ndarray, pw: int = 9) -> np.ndarray:
     return out
 
 
+def probe_table_bufs(part):
+    """The 20 probe-table buffers in native slot order (driver.cpp Buf
+    enum / probe_windows argument order), cached on the part.  The
+    SINGLE source of truth for that order -- both SeedSearcher and the
+    native part driver consume this list, so a table change cannot
+    desynchronize them."""
+    cached = getattr(part, "_drv_bufs", None)
+    if cached is None:
+        f_ti, r_ti = fused_scan_tables(part)
+        cached = [np.ascontiguousarray(a) for a in (
+            part.f_exact_keys, part.f_exact_vals,
+            part.f_pref_keys, part.f_pref_start, part.f_pref_count,
+            part.r_exact_keys, part.r_exact_start, part.r_exact_count,
+            part.r_exact_zero,
+            part.r_pref_keys, part.r_pref_start, part.r_pref_count,
+            part.k19_keys, part.k19_vals,
+            part.r_ids, part.kmer_counts,
+            part.f19_offsets, f_ti,
+            part.r19_offsets, r_ti)]
+        part._drv_bufs = cached
+    return cached
+
+
 def fused_scan_tables(part):
     """Interleaved (tail << 32 | id) uint64 bucket payloads for the
     native probe kernel, cached on the part.  One bucket entry then
@@ -129,17 +152,7 @@ class SeedSearcher:
             from .. import native
             self._lib = native.get_lib()
             if self._lib is not None:
-                f_ti, r_ti = fused_scan_tables(part)
-                self._cbufs = [np.ascontiguousarray(a) for a in (
-                    part.f_exact_keys, part.f_exact_vals,
-                    part.f_pref_keys, part.f_pref_start, part.f_pref_count,
-                    part.r_exact_keys, part.r_exact_start,
-                    part.r_exact_count, part.r_exact_zero,
-                    part.r_pref_keys, part.r_pref_start, part.r_pref_count,
-                    part.k19_keys, part.k19_vals,
-                    part.r_ids, part.kmer_counts,
-                    part.f19_offsets, f_ti,
-                    part.r19_offsets, r_ti)]
+                self._cbufs = probe_table_bufs(part)
 
     def search_windows(self, w1: np.ndarray, w2: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:

@@ -364,7 +364,7 @@ class JaxSwBackend:
     def _min_block(cls, n: int) -> int:
         for b in (64, 256, 1024, 4096, cls.BLOCK):
             if n <= b:
-                return b
+                return min(b, cls.BLOCK)   # SMR_SW_BLOCK may be < 4096
         return cls.BLOCK
 
     @property

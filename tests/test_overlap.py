@@ -45,8 +45,20 @@ def _align(subset, tmp_path, tag, overlap, monkeypatch):
             for st in ctx.states], ctx.readstats
 
 
-def test_overlap_matches_single(subset, tmp_path, monkeypatch):
-    single, rs1 = _align(subset, tmp_path, "single", False, monkeypatch)
+@pytest.fixture(scope="module")
+def baseline(subset, tmp_path_factory):
+    """The single-driver (non-overlap) result, computed once for every
+    variant comparison in this module."""
+    mp = pytest.MonkeyPatch()
+    try:
+        return _align(subset, tmp_path_factory.mktemp("base"), "b",
+                      False, mp)
+    finally:
+        mp.undo()
+
+
+def test_overlap_matches_single(subset, baseline, tmp_path, monkeypatch):
+    single, rs1 = baseline
     dual, rs2 = _align(subset, tmp_path, "dual", True, monkeypatch)
     assert sum(1 for s in single if s[0]) > 100   # non-degenerate
     assert single == dual
@@ -61,12 +73,13 @@ def test_overlap_matches_single(subset, tmp_path, monkeypatch):
     {"SMR_OVERLAP_SPLIT": "8", "SMR_GROUP_WORKERS": "2"},
     {"SMR_OVERLAP_SPLIT": "8", "SMR_FLUSH_DEPTH": "1"},
 ], ids=["grp3", "grp1", "helper", "workers2", "depth1"])
-def test_scheduler_variants_match(subset, tmp_path, monkeypatch, env):
+def test_scheduler_variants_match(subset, baseline, tmp_path,
+                                  monkeypatch, env):
     """Every grouped-scheduler variant (group size, async pump helper,
     symmetric workers, flush depth) must produce byte-identical
     per-read results -- slices never interact, so the interleaving
     must be unobservable."""
-    base, rs1 = _align(subset, tmp_path, "vbase", False, monkeypatch)
+    base, rs1 = baseline
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     got, rs2 = _align(subset, tmp_path, "var", True, monkeypatch)

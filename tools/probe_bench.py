@@ -29,7 +29,6 @@ def main():
     from sortmerna_tpu.options import RunOptions
     from sortmerna_tpu.ops.seed_probe import SeedSearcher
 
-    sub = "/tmp/probe_bench_reads.npz"
     reads_src = ("/root/reference/data/"
                  "set2_environmental_study_550_amplicon.fasta.gz")
     enc = {65: 0, 67: 1, 71: 2, 84: 3}
