@@ -65,6 +65,40 @@ def test_native_prober_matches_numpy(L):
     np.testing.assert_array_equal(hid[order_h], nid[order_n])
 
 
+def test_native_probe_dedup_preserves_order():
+    """The native prober dedups repeated (w1, w2) keys per call
+    (probe.cpp) and fans results back out; output must be EXACTLY the
+    sequential per-window scan -- same window order, same per-window
+    id order, duplicates fully replayed.  Heavy duplication (keys
+    sampled from a small pool, like amplicon batches) and a batch
+    crossing the 64K segment boundary both covered."""
+    from sortmerna_tpu import native
+    if not native.have_native():
+        pytest.skip("no native library")
+    built = build_index(REF, seed_win_len=18)
+    part = built.parts[0]
+    pw = 9
+    rng = np.random.default_rng(11)
+    # small key pool with many real index keys => dup-heavy + hit-rich
+    pool_real = part.kmers18[
+        rng.integers(0, len(part.kmers18), size=150)].astype(np.int64)
+    pool_rand = rng.integers(0, 1 << 36, size=100).astype(np.int64)
+    pool = np.concatenate([pool_real, pool_rand])
+    for n in (5000, 70000):      # 70K crosses the 64K dedup segment
+        keys = pool[rng.integers(0, len(pool), size=n)]
+        w1 = (keys >> (2 * pw)).astype(np.int64)
+        w2 = (keys & ((1 << (2 * pw)) - 1)).astype(np.int64)
+        host = SeedSearcher(part, use_native=False)
+        nat = SeedSearcher(part, use_native=True, threads=2)
+        assert nat._lib is not None
+        hw, hid = host.search_windows(w1, w2)
+        nw_, nid = nat.search_windows(w1, w2)
+        # exact sequence equality -- no sorting
+        np.testing.assert_array_equal(hw, nw_)
+        np.testing.assert_array_equal(hid, nid)
+        assert len(hw) > n // 10     # the pool actually produced hits
+
+
 def test_native_part_driver_engages_at_L14(tmp_path, monkeypatch):
     """-L != 18 must use the all-C++ part driver, not the Python pass
     loop (the round-3 perf cliff)."""
