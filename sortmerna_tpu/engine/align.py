@@ -463,7 +463,7 @@ def _traverse_strand_vec(
     _apply_done(states, ordinals, opts, ctx, is_last_strand)
 
 
-# batches at or above this size split into two half-range drivers whose
+# batches at or above this size split into read-range slices whose
 # host stages and device waves pipeline against each other
 OVERLAP_MIN_READS = 8192
 
@@ -485,11 +485,13 @@ def _overlap_enabled() -> bool:
 
 def _run_part_overlapped(part, ctx, opts, batch, states, skiplengths,
                          backend, readstats, states_fresh) -> None:
-    """Double-buffered part sweep: the batch splits into two read-range
-    halves (independent reads, shared concat buffers); while one half's
-    SW wave computes on the device, the other half runs its host stages
-    (probe, FSM start, result application).  Results are byte-identical
-    to the single-driver sweep -- reads never interact within a part.
+    """Pipelined part sweep: the batch splits into read-range slices
+    (independent reads, shared concat buffers); while some slices' SW
+    waves compute on the device, the others run their host stages
+    (probe, FSM start, result application), and the grouped scheduler
+    concatenates several slices' waves -- across both strands -- into
+    each device call.  Results are byte-identical to the single-driver
+    sweep: reads never interact within a part.
     """
     from .part_driver import NativePartDriver
 

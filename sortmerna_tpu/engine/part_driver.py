@@ -60,7 +60,7 @@ def _part_probe_bufs(part):
 class NativePartDriver:
     """One per (index-part, read-range).  ``lo``/``hi`` select a
     sub-range of the batch: the concat buffers are shared (offsets are
-    absolute), so the overlap scheduler can run two halves of a batch
+    absolute), so the overlap scheduler can run many slices of a batch
     against each other with zero copying."""
 
     def __init__(self, part, ctx: PartContext, opts: Opts,
